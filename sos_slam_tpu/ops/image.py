@@ -1,0 +1,125 @@
+"""Image pyramid, gradients, and bilinear sampling — the per-frame hot path.
+
+TPU-native replacement for FrameHessian::makeImages (reference:
+src/FullSystem/HessianBlocks.cpp:121-176) and the bilinear interpolation
+helpers (src/util/globalFuncs.h getInterpolatedElement*).
+
+Behavioral parity:
+  * level l>0 intensity = 2x2 box average of level l-1 (exact, not gaussian);
+  * gradients = central differences 0.5*(I[x+1]-I[x-1]) per level, zero on the
+    first/last row (the reference only fills idx in [w, w*(h-1)));
+  * abs_sq_grad = dx^2 + dy^2, optionally gamma-weighted by the photometric
+    response derivative.
+
+Layout: each pyramid level is an (H, W, 3) array [intensity, dx, dy] — one
+fused gather serves intensity + both gradients during warping, exactly like
+the reference's Vector3f* dI. A pyramid is a tuple of levels (shapes differ).
+
+All functions are jit-friendly; shapes are static per calibration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box-average downsample of (H, W); H, W must be even."""
+    h, w = img.shape
+    return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def image_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradients with zeroed borders.
+
+    Matches the reference loop over idx in [w, w*(h-1)): interior rows only;
+    left/right column neighbors wrap in the reference's flat indexing, but
+    those pixels are never sampled (pattern padding ≥ 2), so we zero them.
+    """
+    dx = jnp.zeros_like(img)
+    dy = jnp.zeros_like(img)
+    dx = dx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    dy = dy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    # reference fills rows 1..h-2 only (flat range); zero top/bottom rows of dx
+    dx = dx.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return dx, dy
+
+
+def build_pyramid(
+    image: jnp.ndarray,
+    n_levels: int,
+    gamma_grad: Optional[jnp.ndarray] = None,
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Build the intensity+gradient pyramid.
+
+    Args:
+      image: (H, W) float32 irradiance image (already photometrically
+        corrected by the undistorter, like the reference's ImageAndExposure).
+      n_levels: static level count from the calib pyramid.
+      gamma_grad: optional (256,) table of dG/dI of the camera response used
+        to weight abs_sq_grad back into raw-color space
+        (HessianBlocks.cpp:169-174). None = no weighting.
+
+    Returns:
+      (levels, abs_sq_grads): levels[l] is (H_l, W_l, 3) [I, dx, dy];
+      abs_sq_grads[l] is (H_l, W_l).
+    """
+    levels = []
+    absgrads = []
+    cur = image.astype(jnp.float32)
+    for lvl in range(n_levels):
+        if lvl > 0:
+            cur = downsample2x(cur)
+        dx, dy = image_gradients(cur)
+        levels.append(jnp.stack([cur, dx, dy], axis=-1))
+        asg = dx * dx + dy * dy
+        if gamma_grad is not None:
+            idx = jnp.clip(cur.astype(jnp.int32), 0, 255)
+            gw = gamma_grad[idx]
+            asg = asg * gw * gw
+        absgrads.append(asg)
+    return tuple(levels), tuple(absgrads)
+
+
+def interp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (H, W) or (H, W, C) at continuous (u, v) = (x, y).
+
+    Matches getInterpolatedElement* (globalFuncs.h). Out-of-bounds coordinates
+    are clamped; callers mask validity separately (masked-lane convention).
+
+    u, v may have any shape; the result broadcasts accordingly (adds a trailing
+    C axis for multi-channel images).
+    """
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.clip(jnp.floor(u), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(v), 0, h - 2).astype(jnp.int32)
+    dx = jnp.clip(u - x0, 0.0, 1.0)
+    dy = jnp.clip(v - y0, 0.0, 1.0)
+
+    flat = img.reshape(h * w, -1)  # (H*W, C)
+    idx = y0 * w + x0
+    tl = jnp.take(flat, idx, axis=0)
+    tr = jnp.take(flat, idx + 1, axis=0)
+    bl = jnp.take(flat, idx + w, axis=0)
+    br = jnp.take(flat, idx + w + 1, axis=0)
+
+    dxe = dx[..., None]
+    dye = dy[..., None]
+    out = (
+        tl * (1 - dxe) * (1 - dye)
+        + tr * dxe * (1 - dye)
+        + bl * (1 - dxe) * dye
+        + br * dxe * dye
+    )
+    if img.ndim == 2:
+        return out[..., 0]
+    return out
+
+
+def in_bounds(u: jnp.ndarray, v: jnp.ndarray, w: int, h: int,
+              pad: float = 2.0) -> jnp.ndarray:
+    """Validity mask for sampling with `pad` pixels of border margin."""
+    return (u > pad) & (u < w - pad - 1) & (v > pad) & (v < h - pad - 1)

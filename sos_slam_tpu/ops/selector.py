@@ -1,0 +1,237 @@
+"""Gradient-based pixel selection, TPU-native.
+
+Replaces the reference PixelSelector (src/FullSystem/PixelSelector2.{h,cpp})
+with masked hierarchical block-argmax:
+
+  * `block_thresholds`: 32x32-block gradient-magnitude quantile thresholds,
+    3x3-smoothed then squared (makeHists, PixelSelector2.cpp:69-145). The
+    reference quantile over an integer histogram (bins = clip(int(sqrt(g)),
+    0, 48)) equals picking sorted_valid[int(n_valid*cut + 0.5)] of the
+    integer-floored magnitudes — computed here by per-block sort.
+  * `select`: the 3-tier potential-grid selection (select,
+    PixelSelector2.cpp:284-424). A pot-block yields a level-0 pick (status 1)
+    at the eligible pixel maximizing |grad . dir| for a per-block random
+    direction; a 2pot-block yields a level-1 pick (status 2) only if no pixel
+    in it is level-0 eligible; a 4pot-block yields level-2 (status 4) only if
+    nothing is level-0/1 eligible. This is exactly the reference's
+    bestIdx3/-2 suppression cascade, without the sequential scan.
+    (Per-block random directions are iid here rather than drawn from the
+    reference's shared deterministic LCG stream — behaviorally equivalent.)
+  * `adapt_potential` + `make_maps`: the host-side density adaptation loop
+    (makeMaps, PixelSelector2.cpp:146-283) including random sub-sampling when
+    over-selected. Each distinct pot compiles once (few small ints).
+
+Selection runs on full (H, W) arrays — ideal VPU shape — and returns a status
+map plus a dense score used for deterministic top-K point extraction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sos_slam_tpu.utils.config import Settings
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def block_thresholds(
+    absgrad0: jnp.ndarray,
+    cut: float,
+    add: float,
+) -> jnp.ndarray:
+    """Per-32x32-block smoothed squared thresholds (H//32, W//32).
+
+    Matches makeHists: per-block `cut`-quantile of clip(floor(sqrt(g)), 0, 48)
+    over interior pixels, + `add`, 3x3 box-smoothed, squared.
+    """
+    h, w = absgrad0.shape
+    h32, w32 = h // 32, w // 32
+    g = jnp.clip(jnp.floor(jnp.sqrt(jnp.maximum(absgrad0, 0.0))), 0, 48)
+
+    # interior-pixel validity (reference skips it<1, it>w-2, jt<1, jt>h-2)
+    xi = jnp.arange(w)
+    yi = jnp.arange(h)
+    valid = ((xi >= 1) & (xi <= w - 2))[None, :] & ((yi >= 1) & (yi <= h - 2))[:, None]
+
+    g = g[: h32 * 32, : w32 * 32]
+    valid = valid[: h32 * 32, : w32 * 32]
+    gb = g.reshape(h32, 32, w32, 32).transpose(0, 2, 1, 3).reshape(h32, w32, 1024)
+    vb = valid.reshape(h32, 32, w32, 32).transpose(0, 2, 1, 3).reshape(h32, w32, 1024)
+
+    # invalid pixels sort to the end
+    gb = jnp.where(vb, gb, 1e9)
+    gb_sorted = jnp.sort(gb, axis=-1)
+    n_valid = vb.sum(axis=-1)
+    th_idx = jnp.clip((n_valid.astype(jnp.float32) * cut + 0.5).astype(jnp.int32),
+                      0, 1023)
+    ths = jnp.take_along_axis(gb_sorted, th_idx[..., None], axis=-1)[..., 0]
+    ths = jnp.minimum(ths, 48.0) + add
+
+    # 3x3 box smoothing with edge-aware counts (same as reference's sum/num)
+    ones = jnp.ones_like(ths)
+    ker = jnp.ones((3, 3), ths.dtype)
+    pad_sum = jax.scipy.signal.convolve2d(ths, ker, mode="same")
+    pad_cnt = jax.scipy.signal.convolve2d(ones, ker, mode="same")
+    sm = pad_sum / pad_cnt
+    return sm * sm
+
+
+def _block_pick(score: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """One-hot (H, W) bool of the per-(blk x blk)-block argmax where max > 0.
+
+    score: (H, W) with ineligible pixels <= 0. H, W divisible by blk.
+    """
+    h, w = score.shape
+    hb, wb = h // blk, w // blk
+    sb = score.reshape(hb, blk, wb, blk).transpose(0, 2, 1, 3).reshape(hb, wb, blk * blk)
+    best = jnp.argmax(sb, axis=-1)
+    has = jnp.max(sb, axis=-1) > 0.0
+    onehot = (jnp.arange(blk * blk) == best[..., None]) & has[..., None]
+    return (
+        onehot.reshape(hb, wb, blk, blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _block_any(mask: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """Broadcast per-(blk x blk)-block `any` back to pixel resolution."""
+    h, w = mask.shape
+    hb, wb = h // blk, w // blk
+    mb = mask.reshape(hb, blk, wb, blk).any(axis=(1, 3))
+    return jnp.repeat(jnp.repeat(mb, blk, axis=0), blk, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pot",))
+def select(
+    dI0: jnp.ndarray,          # (H, W, 3) level-0 [I, dx, dy]
+    absgrad0: jnp.ndarray,     # (H, W)
+    absgrad1: jnp.ndarray,     # (H/2, W/2)
+    absgrad2: jnp.ndarray,     # (H/4, W/4)
+    ths_smoothed: jnp.ndarray, # (H//32, W//32)
+    pot: int,
+    th_factor: float,
+    down_weight: float,
+    key: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical 3-tier selection. Returns (status (H,W) int8, score (H,W)).
+
+    status: 0 none, 1 level-0 pick, 2 level-1 pick, 4 level-2 pick.
+    """
+    h, w = absgrad0.shape
+    P = 4 * pot
+    hp, wp = _cdiv(h, P) * P, _cdiv(w, P) * P
+
+    xi = jnp.arange(w)
+    yi = jnp.arange(h)
+    # reference border exclusion: xf<4 || xf>=w-5 || yf<4 || yf>h-4
+    border = ((xi >= 4) & (xi < w - 5))[None, :] & ((yi >= 4) & (yi <= h - 4))[:, None]
+
+    # per-pixel thresholds from the 32-blocks
+    th0 = ths_smoothed[jnp.minimum(yi[:, None] >> 5, ths_smoothed.shape[0] - 1),
+                       jnp.minimum(xi[None, :] >> 5, ths_smoothed.shape[1] - 1)]
+    dw1 = down_weight
+    dw2 = dw1 * dw1
+
+    # eligibility per tier (sampled absgrads at coarser levels, nearest)
+    x1 = (xi.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
+    y1 = (yi.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
+    x2 = (xi.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
+    y2 = (yi.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
+    ag1 = absgrad1[jnp.clip(y1, 0, absgrad1.shape[0] - 1)[:, None],
+                   jnp.clip(x1, 0, absgrad1.shape[1] - 1)[None, :]]
+    ag2 = absgrad2[jnp.clip(y2, 0, absgrad2.shape[0] - 1)[:, None],
+                   jnp.clip(x2, 0, absgrad2.shape[1] - 1)[None, :]]
+
+    elig0 = (absgrad0 > th0 * th_factor) & border
+    elig1 = (ag1 > th0 * dw1 * th_factor) & border
+    elig2 = (ag2 > th0 * dw1 * dw2 * th_factor) & border
+
+    # random unit directions per block at each tier
+    def block_dirs(key, blk):
+        nby, nbx = _cdiv(hp, blk), _cdiv(wp, blk)
+        ang = jax.random.uniform(key, (nby, nbx)) * jnp.pi
+        d = jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
+        return jnp.repeat(jnp.repeat(d, blk, 0), blk, 1)[:hp, :wp]
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    grad = dI0[..., 1:]  # (H, W, 2)
+
+    def pad(a):
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)))
+
+    def dir_score(dirs, elig):
+        s = jnp.abs(grad[..., 0] * dirs[:h, :w, 0] + grad[..., 1] * dirs[:h, :w, 1])
+        return pad(jnp.where(elig, jnp.maximum(s, 1e-20), 0.0))
+
+    d2 = block_dirs(k1, pot)
+    d3 = block_dirs(k2, 2 * pot)
+    d4 = block_dirs(k3, 4 * pot)
+
+    s0 = dir_score(d2, elig0)
+    s1 = dir_score(d3, elig1)
+    s2 = dir_score(d4, elig2)
+
+    e0p = pad(elig0)
+    e1p = pad(elig1)
+
+    sel0 = _block_pick(s0, pot)
+    sup1 = _block_any(e0p, 2 * pot)          # suppress tier-1 where tier-0 exists
+    sel1 = _block_pick(jnp.where(sup1, 0.0, s1), 2 * pot)
+    sup2 = _block_any(e0p | e1p, 4 * pot)    # suppress tier-2 where tier-0/1 exist
+    sel2 = _block_pick(jnp.where(sup2, 0.0, s2), 4 * pot)
+
+    status = (
+        sel0.astype(jnp.int8) * 1 + sel1.astype(jnp.int8) * 2 + sel2.astype(jnp.int8) * 4
+    )[:h, :w]
+    score = jnp.maximum(jnp.maximum(s0, s1), s2)[:h, :w]
+    return status, score
+
+
+def make_maps(
+    dI0,
+    absgrads,
+    settings: Settings,
+    density: float,
+    key,
+    current_potential: int = 3,
+    recursions: int = 1,
+    th_factor: float = 2.0,
+) -> Tuple[jnp.ndarray, int, int]:
+    """Density-adaptive selection (host loop over jitted `select`).
+
+    Returns (status_map (H,W) int8, n_selected, new_potential). Mirrors
+    makeMaps (PixelSelector2.cpp:146-283): adapt pot by the K/(pot+1)^2 model,
+    re-select up to `recursions` times, then randomly sub-sample if >5% over.
+    """
+    ths = block_thresholds(
+        absgrads[0], settings.min_grad_hist_cut, settings.min_grad_hist_add
+    )
+    pot = current_potential
+    for it in range(recursions + 1):
+        status, _ = select(
+            dI0, absgrads[0], absgrads[1], absgrads[2], ths, pot,
+            th_factor, settings.grad_downweight_per_level,
+            jax.random.fold_in(key, it),
+        )
+        n_have = int(jnp.sum(status != 0))
+        quotia = density / max(n_have, 1)
+        K = n_have * (pot + 1) ** 2
+        ideal = max(int((K / density) ** 0.5) - 1, 1)
+        if it < recursions and quotia > 1.25 and pot > 1:
+            pot = min(ideal, pot - 1)
+        elif it < recursions and quotia < 0.25:
+            pot = max(ideal, pot + 1)
+        else:
+            break
+    if quotia < 0.95:
+        keep = jax.random.uniform(jax.random.fold_in(key, 99), status.shape) < quotia
+        status = jnp.where(keep, status, 0)
+        n_have = int(jnp.sum(status != 0))
+    return status, n_have, ideal
