@@ -1,0 +1,301 @@
+"""Sliding-window bundle adjustment driver + marginalization.
+
+TPU-native rebuild of FullSystem::optimize (src/FullSystem/
+FullSystemOptimize.cpp:305-489) and EnergyFunctional::{marginalizeFrame,
+marginalizePointsF} (src/OptimizationBackend/EnergyFunctional.cpp:730-936).
+
+The reference's effective algorithm (with its default settings): up to
+`max_opt_iterations` Gauss-Newton steps at fixed damping lambda = 1e-5,
+steps always accepted (setting_forceAceptStep), early break when step norms
+fall below thresholds; after the loop the newest frame's FEJ point is moved
+to its current pose (affine kept in state_zero) and a final linearization
+drops OOB/outlier residuals. We reproduce exactly that as a `lax.while_loop`
+over jitted GN steps.
+
+Marginalization follows the reference verbatim: frame priors folded in, the
+block permuted last, Schur complement under the (|diag|+10)^1/2 Jacobi
+scaling, symmetrized; point marginalization accumulates mode-2 (FEJ-shifted
+res_toZero) top and Schur parts into HM/bM with the 0.5^2 weight.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.utils import lie
+from sos_slam_tpu.utils.config import CPARS, Settings
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def update_energy_th(ba: B.BAState, lin: B.LinData,
+                     settings: Settings) -> jnp.ndarray:
+    """Adaptive outlier threshold for the newest frame (setNewFrameEnergyTH,
+    FullSystemOptimize.cpp:84-124). Returns new energy_th (F,)."""
+    newest = jnp.sum(ba.frame_valid) - 1
+    considered = (
+        ba.res_exist & ba.pt_valid[:, None]
+        & (jnp.arange(ba.F)[None, :] == newest)
+        & (lin.new_state != B.RES_OOB)
+    )
+    e = jnp.where(considered, lin.energy_raw, jnp.inf).reshape(-1)
+    n = jnp.sum(considered)
+    e_sorted = jnp.sort(e)
+    nth = jnp.clip((settings.frame_energy_th_n * n).astype(jnp.int32), 0,
+                   e.shape[0] - 1)
+    nth_el = jnp.sqrt(e_sorted[nth])
+    th = nth_el * settings.frame_energy_th_fac_median
+    th = (26.0 * settings.frame_energy_th_const_weight
+          + th * (1.0 - settings.frame_energy_th_const_weight))
+    th = th * th * settings.overall_energy_th_weight ** 2
+    th = jnp.where(n > 0, th, 12.0 * 12.0 * 8.0)
+    return jnp.where(
+        jnp.arange(ba.F) == newest, th, ba.energy_th
+    )
+
+
+def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
+            w: int, h: int):
+    """One damped GN iteration. Returns (new ba, diag dict)."""
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+
+    energy_th = update_energy_th(ba, lin, settings)
+    ba = ba._replace(energy_th=energy_th)
+
+    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
+    sc = B.accumulate_schur(ba, pre, lin)
+    H_sc, b_sc = B.schur_Hb(sc)
+    x = B.solve_system(ba, H_top, b_top, H_sc, b_sc)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+    step_fr = -x[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
+    step_c = -x[:CPARS]
+    step_pt = B.resubstitute(sc, x) * ba.pt_valid
+    step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
+
+    new_state = ba.state + step_fr
+    new_c = ba.c + step_c
+    new_id = ba.idepth + step_pt
+
+    nvalid = jnp.maximum(jnp.sum(ba.frame_valid), 1)
+    sumA = jnp.sum(step_fr[:, 6] ** 2) / nvalid
+    sumB = jnp.sum(step_fr[:, 7] ** 2) / nvalid
+    sumT = jnp.sum(step_fr[:, 0:3] ** 2) / nvalid
+    sumR = jnp.sum(step_fr[:, 3:6] ** 2) / nvalid
+    npt = jnp.maximum(jnp.sum(ba.pt_valid), 1)
+    sumNID = jnp.sum(jnp.abs(ba.idepth) * ba.pt_valid) / npt
+    th = settings.th_opt_iterations
+    canbreak = (
+        (jnp.sqrt(sumA) < 0.0005 * th)
+        & (jnp.sqrt(sumB) < 0.00005 * th)
+        & (jnp.sqrt(sumR) < 0.00005 * th)
+        & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
+    )
+
+    # energy bookkeeping (OOB keeps no contribution; outliers clamped)
+    live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
+        & (lin.new_state != B.RES_OOB)
+    energy = jnp.sum(jnp.where(live, lin.energy, 0.0))
+
+    ba = ba._replace(
+        state=new_state, c=new_c, idepth=new_id, idepth_zero=new_id,
+        res_state=lin.new_state,
+    )
+    return ba, canbreak, energy
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "max_its",
+                                             "min_its"))
+def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
+             w: int, h: int, max_its: int, min_its: int = 1):
+    """The windowed BA (FullSystem::optimize). Returns (ba, stats dict)."""
+    # resetOOB: all existing residuals restart as IN
+    ba = ba._replace(
+        res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state)
+    )
+
+    def cond(carry):
+        ba_, it, canbreak, _ = carry
+        return (it < max_its) & ~(canbreak & (it >= min_its))
+
+    def body(carry):
+        ba_, it, _, _ = carry
+        ba2, canbreak, energy = gn_step(ba_, dI, settings, w, h)
+        return (ba2, it + 1, canbreak, energy)
+
+    ba, n_its, _, energy = jax.lax.while_loop(
+        cond, body, (ba, jnp.int32(0), jnp.array(False), jnp.float32(0.0))
+    )
+
+    # move newest frame's FEJ to its current pose (affine kept as new zero)
+    newest = jnp.sum(ba.frame_valid) - 1
+    T_cw = B.state_to_pose(ba.T_cw_eval, ba.state)
+    sel = (jnp.arange(ba.F) == newest)[:, None]
+    zero_pose_state = ba.state.at[:, :6].set(0.0)
+    new_eval = jnp.where(sel[..., None], T_cw, ba.T_cw_eval)
+    new_state = jnp.where(sel, zero_pose_state, ba.state)
+    new_zero = jnp.where(sel, zero_pose_state, ba.state_zero)
+    ba = ba._replace(T_cw_eval=new_eval, state=new_state, state_zero=new_zero)
+
+    # final linearization: permanently drop OOB/outlier residuals
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+    ba = ba._replace(
+        energy_th=update_energy_th(ba, lin, settings),
+        res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
+        res_state=lin.new_state,
+    )
+    n_active = jnp.sum(lin.active)
+    live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
+    energy_final = jnp.sum(jnp.where(live, lin.energy, 0.0))
+    rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
+    is_lost = ~jnp.isfinite(energy_final)
+    return ba, dict(energy=energy_final, rmse=rmse, n_its=n_its,
+                    n_active=n_active, is_lost=is_lost)
+
+
+def _mask_lin(lin: B.LinData, pmask: jnp.ndarray) -> B.LinData:
+    """Restrict a linearization to a subset of points."""
+    f = pmask.astype(jnp.float32)
+    return B.LinData(
+        X=lin.X * f[:, None, None, None],
+        Jpdd=lin.Jpdd * f[:, None, None],
+        resF=lin.resF * f[:, None, None],
+        JIdx=lin.JIdx * f[:, None, None, None],
+        JabF=lin.JabF * f[:, None, None, None],
+        JIdx2=lin.JIdx2 * f[:, None, None, None],
+        JabJIdx=lin.JabJIdx * f[:, None, None, None],
+        Jab2=lin.Jab2 * f[:, None, None, None],
+        energy=lin.energy, energy_raw=lin.energy_raw,
+        new_state=lin.new_state,
+        active=lin.active & pmask[:, None],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def marginalize_points(ba: B.BAState, dI: jnp.ndarray, marg: jnp.ndarray,
+                       settings: Settings, w: int, h: int) -> B.BAState:
+    """Fold flagged points into HM/bM (marginalizePointsF,
+    EnergyFunctional.cpp:891-936) and drop them. marg: (P,) bool."""
+    marg = marg & ba.pt_valid
+    pre = B.make_precalc(ba)
+    lin = _mask_lin(B.linearize(ba, pre, dI, settings, w, h), marg)
+    resZ = B.res_to_zero(ba, pre, lin)
+    H, b = B.accumulate_top(ba, pre, lin, resApprox=resZ)
+    sc = B.accumulate_schur(
+        ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
+        prior_fac=settings.idepth_fix_prior_marg_fac,
+    )
+    H_sc, b_sc = B.schur_Hb(sc)
+    HM = ba.HM + settings.marg_weight_fac * (H - H_sc)
+    HM = 0.5 * (HM + HM.T)   # kill f32 rounding asymmetry
+    bM = ba.bM + settings.marg_weight_fac * (b - b_sc)
+    return ba._replace(
+        HM=HM, bM=bM,
+        pt_valid=ba.pt_valid & ~marg,
+        res_exist=ba.res_exist & ~marg[:, None],
+    )
+
+
+def drop_points(ba: B.BAState, drop: jnp.ndarray) -> B.BAState:
+    """Remove points without marginalization (dropPointsF)."""
+    drop = drop & ba.pt_valid
+    return ba._replace(
+        pt_valid=ba.pt_valid & ~drop,
+        res_exist=ba.res_exist & ~drop[:, None],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def marginalize_frame(ba: B.BAState, k: jnp.ndarray) -> B.BAState:
+    """Schur-marginalize frame slot k out of HM/bM and compact the window
+    (EnergyFunctional::marginalizeFrame, EnergyFunctional.cpp:730-889).
+
+    Requires: no remaining valid points hosted in k, no residuals targeting k
+    (the caller drops/marginalizes them first).
+    """
+    F = ba.F
+    D = CPARS + 8 * F
+    n = jnp.sum(ba.frame_valid)
+
+    # add the frame's prior before marginalizing
+    HM, bM = ba.HM, ba.bM
+    didx = CPARS + 8 * k + jnp.arange(8)
+    HM = HM.at[didx, didx].add(ba.prior[k])
+    bM = bM.at[didx].add(ba.prior[k] * ba.state[k])
+
+    # permutation moving block k to the last *valid* block position (n-1)
+    blk = jnp.arange(F)
+    # new order of frame blocks: [0..k-1, k+1..n-1, k, n..F-1]
+    shifted = jnp.where((blk >= k) & (blk < n - 1), blk + 1, blk)
+    order = jnp.where(blk == n - 1, k, shifted)          # (F,) old index per new slot
+    perm = jnp.concatenate(
+        [jnp.arange(CPARS), (CPARS + 8 * order[:, None] + jnp.arange(8)[None, :]
+                             ).reshape(-1)]
+    )
+    HMp = HM[perm][:, perm]
+    bMp = bM[perm]
+
+    # Schur out the last valid block (dims [CPARS+8(n-1), CPARS+8n))
+    sl = CPARS + 8 * (n - 1)
+    dim_idx = jnp.arange(D)
+    in_marg = (dim_idx >= sl) & (dim_idx < sl + 8)
+
+    svec = jnp.sqrt(jnp.abs(jnp.diagonal(HMp)) + 10.0)
+    svec_i = 1.0 / svec
+    Hs = HMp * svec_i[:, None] * svec_i[None, :]
+    bs = bMp * svec_i
+
+    # invert the marginalized 8x8 block (gathered densely)
+    gidx = sl + jnp.arange(8)
+    Hmm = Hs[gidx][:, gidx]
+    Hmm = 0.5 * (Hmm + Hmm.T)
+    Hmm_inv = jnp.linalg.inv(Hmm)
+    Hmm_inv = 0.5 * (Hmm_inv + Hmm_inv.T)
+    Hxm = Hs[:, gidx]                      # (D,8) includes marg rows
+    keep = (~in_marg).astype(jnp.float32)
+    Hxm = Hxm * keep[:, None]
+    bli = Hxm @ Hmm_inv                    # (D,8)
+    Hs_new = Hs - bli @ Hxm.T
+    bs_new = bs - bli @ bs[gidx]
+    # keep only non-marg rows/cols
+    Hs_new = Hs_new * keep[:, None] * keep[None, :]
+    bs_new = bs_new * keep
+
+    HM2 = Hs_new * svec[:, None] * svec[None, :]
+    HM2 = 0.5 * (HM2 + HM2.T)
+    bM2 = bs_new * svec
+
+    # compact frame-indexed arrays: new slot i <- old slot order[i]
+    def shift(a):
+        return a[order]
+
+    last = jnp.arange(F) == (n - 1)
+    frame_valid = shift(ba.frame_valid) & ~last
+    state = shift(ba.state) * frame_valid[:, None]
+    state_zero = shift(ba.state_zero) * frame_valid[:, None]
+    T_cw_eval = jnp.where(frame_valid[:, None, None], shift(ba.T_cw_eval),
+                          jnp.eye(4))
+    prior = shift(ba.prior) * frame_valid[:, None]
+    exposure = shift(ba.exposure)
+    energy_th = shift(ba.energy_th)
+
+    # remap point host indices and residual targets
+    new_host = jnp.where(ba.host > k, ba.host - 1, ba.host)
+    inv_order = jnp.argsort(order)          # old block -> new block
+    res_exist = ba.res_exist[:, order] & frame_valid[None, :]
+    res_state = ba.res_state[:, order]
+
+    return ba._replace(
+        frame_valid=frame_valid, T_cw_eval=T_cw_eval, state=state,
+        state_zero=state_zero, exposure=exposure, energy_th=energy_th,
+        prior=prior, host=new_host, res_exist=res_exist, res_state=res_state,
+        HM=HM2, bM=bM2,
+    )
