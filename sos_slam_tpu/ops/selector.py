@@ -194,6 +194,69 @@ def select(
     return status, score
 
 
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def extract_points(status: jnp.ndarray, n_slots: int):
+    """Gather selected pixels (status != 0) into a fixed-size point list.
+
+    Returns (u (n,), v (n,), my_type (n,) int32 with 0 = empty slot).
+    Selection order is flat row-major (deterministic).
+    """
+    h, w = status.shape
+    flat = (status != 0).reshape(-1)
+    score = flat.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, n_slots)
+    sel_ok = flat[idx]
+    u = (idx % w).astype(jnp.float32)
+    v = (idx // w).astype(jnp.float32)
+    my_type = jnp.where(sel_ok, status.reshape(-1)[idx].astype(jnp.int32), 0)
+    return u, v, my_type
+
+
+@functools.partial(jax.jit, static_argnames=("pot",))
+def grid_max_selection(dI: jnp.ndarray, pot: int, th: float) -> jnp.ndarray:
+    """Coarse-level selection (gridMaxSelection, PixelSelector.h:111-253):
+    per pot-block argmax of |gx|, |gy|, |gx-gy|, |gx+gy| among pixels whose
+    squared gradient exceeds th^2. Returns bool map (H, W)."""
+    h, w = dI.shape[:2]
+    gx, gy = dI[..., 1], dI[..., 2]
+    sq = gx * gx + gy * gy
+    ok = sq > th * th
+    # border: reference scans x,y in [1, dim-pot)
+    xi = jnp.arange(w)
+    yi = jnp.arange(h)
+    ok &= ((xi >= 1) & (xi < w - 1))[None, :] & ((yi >= 1) & (yi < h - 1))[:, None]
+
+    hp, wp = _cdiv(h, pot) * pot, _cdiv(w, pot) * pot
+    out = jnp.zeros((hp, wp), bool)
+    for ch in (jnp.abs(gx), jnp.abs(gy), jnp.abs(gx - gy), jnp.abs(gx + gy)):
+        s = jnp.pad(jnp.where(ok, jnp.maximum(ch, 1e-12), 0.0),
+                    ((0, hp - h), (0, wp - w)))
+        out |= _block_pick(s, pot)
+    return out[:h, :w]
+
+
+def make_pixel_status(dI: jnp.ndarray, desired: float, min_use_grad: float = 10.0,
+                      recursions: int = 5) -> Tuple[jnp.ndarray, int]:
+    """Adaptive-sparsity coarse selection (makePixelStatus,
+    PixelSelector.h:188-253). Host loop over jitted grid_max_selection."""
+    sparsity = 5
+    th_fac = 1.0
+    for rec in range(recursions + 1):
+        m = grid_max_selection(dI, max(sparsity, 1),
+                               th_fac * min_use_grad * 0.75)
+        n = int(jnp.sum(m))
+        quotia = n / max(desired, 1.0)
+        new_sparsity = max(int(sparsity * quotia ** 0.5 + 0.7), 1)
+        old_th = th_fac
+        if new_sparsity == 1 and sparsity == 1:
+            th_fac = 0.5
+        if (abs(new_sparsity - sparsity) < 1 and th_fac == old_th) or \
+                (quotia > 0.8 and quotia < 1.25) or rec == recursions:
+            return m, n
+        sparsity = new_sparsity
+    return m, n
+
+
 def make_maps(
     dI0,
     absgrads,
