@@ -1,0 +1,754 @@
+"""FullSystem: the odometry pipeline orchestrator.
+
+TPU-native rebuild of the reference FullSystem (src/FullSystem/
+FullSystem.{h,cpp}): frame ingestion, monocular bootstrap, multi-hypothesis
+coarse tracking, keyframe decision, point lifecycle (trace -> activate ->
+optimize -> marginalize), windowed BA, and marginalization policy.
+
+Architecture: a thin host-side class owning device-resident state
+(BAState window, ImmatureState pool, tracker templates, frame pyramids);
+every compute step is a jitted kernel from ops/ and models/. Host logic is
+restricted to control decisions the reference also makes on scalars
+(keyframe need, marginalization flags, initializer progression).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_slam_tpu.models import energy as E
+from sos_slam_tpu.models import initializer as CI
+from sos_slam_tpu.models import window as WIN
+from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.ops import selector
+from sos_slam_tpu.ops import trace as TR
+from sos_slam_tpu.ops import tracker as TK
+from sos_slam_tpu.ops.image import build_pyramid, interp_bilinear
+from sos_slam_tpu.utils import lie
+from sos_slam_tpu.utils.camera import CalibPyramid
+from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
+
+
+@dataclasses.dataclass
+class FrameShell:
+    """Permanent per-frame record (reference util/FrameShell.h)."""
+
+    id: int
+    timestamp: float
+    cam_to_world: np.ndarray            # (4,4)
+    aff: np.ndarray                     # (2,)
+    pose_valid: bool = True
+    tracking_ref: Optional[int] = None  # id of reference KF shell
+    is_kf: bool = False
+    marginalized_at: int = -1
+
+
+class FullSystem:
+    def __init__(self, calib: CalibPyramid, settings: Settings):
+        self.calib = calib
+        self.settings = settings
+        self.n_levels = calib.levels
+        self.w = calib.widths[0]
+        self.h = calib.heights[0]
+        F = settings.max_window_frames
+        P = settings.max_points
+        self.F, self.P = F, P
+
+        fx, fy, cx, cy = calib.intrinsics(0)
+        c0 = jnp.array([fx, fy, cx, cy]) / B.CALIB_SCALE
+        D = 4 + 8 * F
+        self.ba = B.BAState(
+            frame_valid=jnp.zeros(F, bool),
+            T_cw_eval=jnp.stack([jnp.eye(4)] * F),
+            state=jnp.zeros((F, 8)),
+            state_zero=jnp.zeros((F, 8)),
+            exposure=jnp.ones(F),
+            energy_th=jnp.full((F,), 12.0 * 12.0 * 8.0),
+            prior=jnp.zeros((F, 8)),
+            c=c0, c_zero=c0,
+            pt_valid=jnp.zeros(P, bool),
+            host=jnp.zeros(P, jnp.int32),
+            u=jnp.zeros(P), v=jnp.zeros(P),
+            color=jnp.zeros((P, 8)), weight=jnp.zeros((P, 8)),
+            idepth=jnp.zeros(P), idepth_zero=jnp.zeros(P),
+            pt_prior=jnp.zeros(P),
+            res_exist=jnp.zeros((P, F), bool),
+            res_state=jnp.zeros((P, F), jnp.int8),
+            HM=jnp.zeros((D, D)), bM=jnp.zeros(D),
+        )
+        self.dI = jnp.zeros((F, self.h, self.w, 3))   # level-0 images
+        self.frame_pyramids: List = [None] * F        # full pyramids per slot
+        self.frame_shell_idx: List[int] = []          # shell id per slot
+        self.HdiF = jnp.zeros(P)
+
+        N_imm = settings.max_immature
+        self.imm = TR.ImmatureState(
+            valid=jnp.zeros(N_imm, bool),
+            host=jnp.zeros(N_imm, jnp.int32),
+            u=jnp.zeros(N_imm), v=jnp.zeros(N_imm),
+            color=jnp.zeros((N_imm, 8)), weights=jnp.zeros((N_imm, 8)),
+            gradH=jnp.zeros((N_imm, 2, 2)),
+            energy_th=jnp.zeros(N_imm),
+            idepth_min=jnp.zeros(N_imm),
+            idepth_max=jnp.full((N_imm,), jnp.inf),
+            status=jnp.zeros(N_imm, jnp.int8),
+            quality=jnp.full((N_imm,), 10000.0),
+            my_type=jnp.zeros(N_imm, jnp.int32),
+        )
+
+        # coarse-tracker state
+        tmpl_sizes = []
+        for lvl in range(self.n_levels):
+            tmpl_sizes.append(max(settings.max_track_pts >> (2 * lvl), 1024))
+        self.tmpl_sizes = tuple(tmpl_sizes)
+        self.templates = None
+        self.ref_slot = -1          # window slot of the tracking reference
+        self.ref_aff = jnp.zeros(2)
+        self.ref_exposure = 1.0
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = np.full(6, 100.0)
+
+        # initializer
+        self.initializer: Optional[CI.InitState] = None
+        self.init_first_pyr = None
+
+        self.initialized = False
+        self.is_lost = False
+        self.init_failed = False
+        self.current_min_act_dist = 2.0
+
+        self.shells: List[FrameShell] = []
+        self.kf_shell_ids: List[int] = []
+        self.host_out = np.zeros(F, np.int64)  # per-slot dead-point counts
+        self.key = jax.random.PRNGKey(3141592)
+        self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
+        self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
+
+    # ------------------------------------------------------------------
+    # public API (reference FullSystem::addActiveFrame, FullSystem.cpp:616)
+    # ------------------------------------------------------------------
+    def add_active_frame(self, image: jnp.ndarray, timestamp: float,
+                         frame_id: int, exposure: float = 1.0):
+        if self.is_lost:
+            return
+        pyr, absgrads = build_pyramid(jnp.asarray(image, jnp.float32),
+                                      self.n_levels)
+        shell = FrameShell(id=frame_id, timestamp=timestamp,
+                           cam_to_world=np.eye(4), aff=np.zeros(2))
+        self.shells.append(shell)
+        self.stats["n_frames"] += 1
+
+        if not self.initialized:
+            self._initializer_step(pyr, absgrads, shell, exposure)
+            return
+
+        tres = self._track_new_coarse(pyr, shell, exposure)
+        if tres is None:
+            self.is_lost = True
+            return
+        need_kf = self._keyframe_decision(tres, shell)
+        self._deliver_tracked_frame(pyr, shell, exposure, need_kf)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _initializer_step(self, pyr, absgrads, shell, exposure):
+        if self.initializer is None:
+            self.initializer = CI.set_first(
+                pyr, absgrads, self.calib, self.settings, self.key)
+            self.init_first_pyr = pyr
+            self.init_first_shell = shell
+            shell.is_kf = True
+            return
+        self.initializer, done = CI.track_frame(
+            self.initializer, self.init_first_pyr, pyr, self.calib,
+            self.settings)
+        if done:
+            self._initialize_from_initializer(pyr, shell, exposure)
+
+    def _initialize_from_initializer(self, pyr, shell, exposure):
+        """Reference FullSystem::initializeFromInitializer
+        (FullSystem.cpp:933-1069), mono path."""
+        st = self.initializer
+        lv0 = st.levels[0]
+        good = lv0.valid & lv0.is_good
+        init_scale = float(jnp.sum(jnp.where(good, lv0.iR, 0.0))
+                           / jnp.maximum(jnp.sum(good), 1))
+
+        # first KF enters the window at identity with the big pose prior
+        first_shell = self.init_first_shell
+        prior0 = self._prior_row(first=True)
+        self.ba = WIN.insert_frame(self.ba, jnp.eye(4), jnp.zeros(2),
+                                   jnp.asarray(1.0), prior0)
+        self.dI = self.dI.at[0].set(self.init_first_pyr[0])
+        self.frame_pyramids[0] = self.init_first_pyr
+        self.frame_shell_idx = [self.shells.index(first_shell)]
+        self.kf_shell_ids.append(first_shell.id)
+        first_shell.is_kf = True
+        self.stats["n_kf"] += 1
+
+        # sub-select level-0 initializer points into the window
+        keep_p = self.settings.desired_point_density / max(
+            float(jnp.sum(good)), 1.0)
+        self.key, k = jax.random.split(self.key)
+        keep = good & (jax.random.uniform(k, good.shape) < keep_p)
+
+        pat = jnp.asarray(PATTERN_OFFSETS)
+        u = lv0.u + 0.5
+        v = lv0.v + 0.5
+        ptc = interp_bilinear(self.init_first_pyr[0],
+                              u[:, None] + pat[None, :, 0],
+                              v[:, None] + pat[None, :, 1])
+        color = ptc[..., 0]
+        g2 = jnp.sum(ptc[..., 1:] ** 2, -1)
+        weights = jnp.sqrt(self.settings.outlier_th_sum_component
+                           / (self.settings.outlier_th_sum_component + g2))
+        keep &= jnp.isfinite(color).all(-1)
+
+        slot, accepted = WIN.scatter_into_free_slots(self.ba.pt_valid, keep)
+        self.ba = WIN.insert_points(
+            self.ba, slot, accepted,
+            host=jnp.zeros_like(lv0.u, jnp.int32),
+            u=u, v=v, color=color, weight=weights,
+            idepth=lv0.iR / init_scale,
+            prior_w=jnp.full(lv0.u.shape, self.settings.idepth_fix_prior),
+        )
+
+        # second frame pose: thisToNext with metric-rescaled translation
+        T_fn = np.array(st.T)  # first -> new (copy: jax arrays are read-only)
+        T_fn[:3, 3] *= init_scale
+        T_nf = np.linalg.inv(T_fn)
+        first_shell.cam_to_world = np.eye(4)
+        shell.cam_to_world = T_nf
+        shell.tracking_ref = first_shell.id
+
+        self.initialized = True
+        self._deliver_tracked_frame(pyr, shell, exposure, need_kf=True)
+
+    def _prior_row(self, first: bool) -> jnp.ndarray:
+        s = self.settings
+        p = np.zeros(8, np.float32)
+        if first:
+            p[0:3] = s.initial_trans_prior
+            p[3:6] = s.initial_rot_prior
+            p[6] = s.initial_aff_a_prior
+            p[7] = s.initial_aff_b_prior
+        else:
+            p[6] = (s.initial_aff_a_prior if s.affine_opt_mode_a < 0
+                    else s.affine_opt_mode_a)
+            p[7] = (s.initial_aff_b_prior if s.affine_opt_mode_b < 0
+                    else s.affine_opt_mode_b)
+        return jnp.asarray(p)
+
+    # ------------------------------------------------------------------
+    # tracking
+    # ------------------------------------------------------------------
+    def _motion_hypotheses(self) -> jnp.ndarray:
+        """lastF -> new initializations (FullSystem.cpp:148-215)."""
+        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+        T_ref = ref_shell.cam_to_world
+        if len(self.shells) >= 3:
+            slast = self.shells[-2]
+            sprelast = self.shells[-3]
+            if slast.pose_valid and sprelast.pose_valid and ref_shell.pose_valid:
+                T_sl = slast.cam_to_world
+                T_spl = sprelast.cam_to_world
+                fh_2_sl = np.linalg.inv(T_spl) @ T_sl   # assumed const motion
+                lastF_2_sl = np.linalg.inv(T_sl) @ T_ref
+                const = np.linalg.inv(fh_2_sl) @ lastF_2_sl
+                dbl = np.linalg.inv(fh_2_sl) @ np.linalg.inv(fh_2_sl) @ lastF_2_sl
+                half_xi = 0.5 * np.asarray(lie.se3_log(jnp.asarray(fh_2_sl)))
+                half = np.asarray(
+                    lie.se3_inv(lie.se3_exp(jnp.asarray(half_xi)))) @ lastF_2_sl
+                hyps = [const, dbl, half, lastF_2_sl, np.eye(4)]
+            else:
+                hyps = [np.eye(4)]
+        else:
+            hyps = [np.eye(4)]
+        base = hyps[0]
+        rot_signs = [
+            (1,0,0),(0,1,0),(0,0,1),(-1,0,0),(0,-1,0),(0,0,-1),
+            (1,1,0),(0,1,1),(1,0,1),(-1,1,0),(0,-1,1),(-1,0,1),
+            (1,-1,0),(0,1,-1),(1,0,-1),(-1,-1,0),(0,-1,-1),(-1,0,-1),
+            (-1,-1,-1),(-1,-1,1),(-1,1,-1),(-1,1,1),(1,-1,-1),(1,-1,1),
+            (1,1,-1),(1,1,1),
+        ]
+        perturbed = []
+        for delta in (0.02, 0.03, 0.04):
+            for rs in rot_signs:
+                q = np.array([1.0, rs[0] * delta, rs[1] * delta, rs[2] * delta])
+                Rm = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+                Tp = np.eye(4)
+                Tp[:3, :3] = Rm
+                perturbed.append(base @ Tp)
+        return hyps, perturbed
+
+    def _track_new_coarse(self, pyr, shell, exposure):
+        """Multi-hypothesis coarse tracking (trackNewCoarse,
+        FullSystem.cpp:138-309), with hypotheses batched via vmap."""
+        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        # init affine from the LAST frame (aff_last_2_l, FullSystem.cpp:148)
+        aff0 = jnp.asarray(self.shells[-2].aff, jnp.float32) \
+            if len(self.shells) >= 2 else jnp.zeros(2)
+        exposures = jnp.array([self.ref_exposure, exposure])
+
+        hyps, perturbed = self._motion_hypotheses()
+
+        def run_batch(T_list):
+            Ts = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_list])
+            return TK.track_hypotheses(
+                pyr, self.templates, Ts, aff0, self.ref_aff, exposures,
+                intr, self.n_levels,
+                coarse_cutoff_th=self.settings.coarse_cutoff_th,
+                huber=self.settings.huber_th,
+            )
+
+        out = run_batch(hyps)
+        good = np.asarray(out["good"])
+        res0 = np.asarray(out["residuals"][:, 0])
+        best = None
+        ok_mask = good & np.isfinite(res0)
+        if ok_mask.any():
+            cand = np.where(ok_mask)[0]
+            best = cand[np.argmin(res0[cand])]
+        achieved = res0[best] if best is not None else np.inf
+        if best is None or achieved >= self.last_coarse_rmse[0] * \
+                self.settings.re_track_threshold:
+            # escalate: rotation-perturbed restarts in batches
+            for c0 in range(0, len(perturbed), 26):
+                out2 = run_batch(perturbed[c0:c0 + 26])
+                good2 = np.asarray(out2["good"])
+                res2 = np.asarray(out2["residuals"][:, 0])
+                ok2 = good2 & np.isfinite(res2)
+                if ok2.any():
+                    c = np.where(ok2)[0]
+                    b2 = c[np.argmin(res2[c])]
+                    if best is None or res2[b2] < achieved:
+                        out, best, achieved = out2, b2, res2[b2]
+                if best is not None and achieved < \
+                        self.last_coarse_rmse[0] * self.settings.re_track_threshold:
+                    break
+
+        if best is None:
+            shell.pose_valid = False
+            shell.cam_to_world = self.shells[-2].cam_to_world if \
+                len(self.shells) > 1 else np.eye(4)
+            return None
+
+        T_ref_to_new = np.asarray(out["T"][best])
+        aff = np.asarray(out["aff"][best])
+        flow = np.asarray(out["flow"][best])
+        residuals = np.asarray(out["residuals"][best])
+
+        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+        shell.cam_to_world = ref_shell.cam_to_world @ np.linalg.inv(T_ref_to_new)
+        shell.aff = aff
+        shell.tracking_ref = ref_shell.id
+
+        self.last_coarse_rmse = np.where(np.isfinite(residuals), residuals,
+                                         self.last_coarse_rmse)
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = float(residuals[0])
+        return dict(res=residuals, flow=flow, aff=aff,
+                    T_ref_to_new=T_ref_to_new, exposure=exposure)
+
+    def _keyframe_decision(self, tres, shell) -> bool:
+        """Optical-flow/brightness heuristic (FullSystem.cpp:709-732)."""
+        s = self.settings
+        if len(self.kf_shell_ids) == 0:
+            return True
+        a_ref = np.exp(tres["aff"][0]) * tres["exposure"] / max(self.ref_exposure, 1e-9)
+        flow_t, flow_rt = tres["flow"]
+        wh = self.w + self.h
+        score = (
+            s.kf_global_weight * s.max_shift_weight_t * np.sqrt(max(flow_t, 0)) / wh
+            + s.kf_global_weight * s.max_shift_weight_rt * np.sqrt(max(flow_rt, 0)) / wh
+            + s.kf_global_weight * s.max_affine_weight * abs(np.log(max(a_ref, 1e-9)))
+        )
+        return bool(score > 1.0 or
+                    2.0 * self.first_coarse_rmse < tres["res"][0])
+
+    # ------------------------------------------------------------------
+    # keyframe pipeline
+    # ------------------------------------------------------------------
+    def _deliver_tracked_frame(self, pyr, shell, exposure, need_kf):
+        if need_kf:
+            self._make_keyframe(pyr, shell, exposure)
+        else:
+            self._trace_new_coarse(pyr, shell, exposure)
+
+    def _host_to_new_transforms(self, T_cw_new):
+        """Per-host-slot KRKi/Kt/aff into an (external) new frame."""
+        T_cw = B.state_to_pose(self.ba.T_cw_eval, self.ba.state)
+        T_wc_new = lie.se3_inv(jnp.asarray(T_cw_new, jnp.float32))
+        rel = jnp.einsum("ij,fjk->fik", T_wc_new, T_cw)
+        fx, fy, cx, cy = B.calib_real(self.ba)
+        K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        Ki = jnp.linalg.inv(K)
+        KRKi = jnp.einsum("ij,fjk,kl->fil", K, rel[:, :3, :3], Ki)
+        Kt = jnp.einsum("ij,fj->fi", K, rel[:, :3, 3])
+        return KRKi, Kt, rel
+
+    def _trace_new_coarse(self, pyr, shell, exposure):
+        """Trace all immature points onto this (non-key)frame
+        (traceNewCoarse, FullSystem.cpp:311-361)."""
+        KRKi, Kt, _ = self._host_to_new_transforms(shell.cam_to_world)
+        aff_cur = B.aff_real(self.ba.state)
+        aff_new = jnp.asarray(shell.aff, jnp.float32)
+        affs = TK.aff_from_to(
+            self.ba.exposure, jnp.asarray(exposure),
+            aff_cur.T, jnp.broadcast_to(aff_new[:, None], (2, self.F)),
+        ).T  # (F,2)
+        self.imm = TR.trace_points(self.imm, pyr[0], KRKi, Kt, affs,
+                                   self.w, self.h, self.settings)
+
+    def _make_keyframe(self, pyr, shell, exposure):
+        import time as _time
+        t0 = _time.time()
+        s = self.settings
+
+        self._trace_new_coarse(pyr, shell, exposure)
+
+        marg_flags = self._flag_frames_for_marginalization()
+
+        # insert frame
+        slot = int(jnp.sum(self.ba.frame_valid))
+        if slot >= self.F:
+            raise RuntimeError("window overflow — marginalization failed")
+        first = len(self.kf_shell_ids) == 0
+        self.ba = WIN.insert_frame(
+            self.ba, jnp.asarray(shell.cam_to_world, jnp.float32),
+            jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
+            self._prior_row(first=first))
+        self.dI = self.dI.at[slot].set(pyr[0])
+        self.frame_pyramids[slot] = pyr
+        self.frame_shell_idx.append(self.shells.index(shell))
+        self.kf_shell_ids.append(shell.id)
+        shell.is_kf = True
+        self.stats["n_kf"] += 1
+
+        # activate points
+        self._activate_points()
+
+        # windowed BA
+        n_kf = len(self.kf_shell_ids)
+        max_its = s.max_opt_iterations
+        if n_kf < 3:
+            max_its = 20
+        elif n_kf < 4:
+            max_its = 15
+        self.ba, stats = E.optimize(self.ba, self.dI, s, self.w, self.h,
+                                    max_its=max_its,
+                                    min_its=s.min_opt_iterations)
+        rmse = float(stats["rmse"])
+        if bool(stats["is_lost"]):
+            self.is_lost = True
+            return
+        if (n_kf == 2 and rmse > 25) or (n_kf == 3 and rmse > 15) or \
+                (n_kf == 4 and rmse > 10):
+            self.init_failed = True
+            return
+
+        # recompute HdiF for the template weights
+        pre = B.make_precalc(self.ba)
+        lin = B.linearize(self.ba, pre, self.dI, s, self.w, self.h)
+        sc = B.accumulate_schur(self.ba, pre, lin)
+        self.HdiF = sc.HdiF
+
+        # write back optimized poses to shells
+        T_cw = np.asarray(B.state_to_pose(self.ba.T_cw_eval, self.ba.state))
+        affs = np.asarray(B.aff_real(self.ba.state))
+        for i, sh_idx in enumerate(self.frame_shell_idx):
+            self.shells[sh_idx].cam_to_world = T_cw[i]
+            self.shells[sh_idx].aff = affs[i]
+
+        # rebuild tracker reference on the newest KF
+        self.templates, self.pc_l0 = WIN.build_track_template(
+            self.ba, self.HdiF, pyr, self.n_levels, self.tmpl_sizes,
+            self.w, self.h)
+        self.ref_slot = int(jnp.sum(self.ba.frame_valid)) - 1
+        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        self.ref_exposure = exposure
+
+        # flag points for removal / marginalization
+        self._flag_and_marginalize_points(marg_flags)
+
+        # new immature points on the new KF
+        self._make_new_traces(pyr, slot)
+
+        # marginalize flagged frames
+        self._marginalize_frames(marg_flags)
+
+        self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
+
+    # ------------------------------------------------------------------
+    def _flag_frames_for_marginalization(self) -> List[int]:
+        """flagFramesForMarginalization (FullSystemMarginalize.cpp:54-141).
+        Returns window-slot indices to marginalize AFTER this KF."""
+        s = self.settings
+        n = int(jnp.sum(self.ba.frame_valid))
+        if n < s.min_frames:
+            return []
+        flags = []
+        # in = active + immature points, out = cumulative deaths per host
+        pt_in = np.asarray(jax.ops.segment_sum(
+            self.ba.pt_valid.astype(jnp.int32), self.ba.host, self.F))
+        imm_in = np.asarray(jax.ops.segment_sum(
+            self.imm.valid.astype(jnp.int32), self.imm.host, self.F))
+        aff = np.asarray(B.aff_real(self.ba.state))
+        exp = np.asarray(self.ba.exposure)
+        for i in range(n):
+            n_in = pt_in[i] + imm_in[i]
+            n_out = self.host_out[i]
+            a_rel = np.exp(aff[n - 1, 0] - aff[i, 0]) * exp[i] / max(exp[n - 1], 1e-9)
+            if (n_in < s.min_points_remaining * (n_in + n_out)
+                    or abs(np.log(max(a_rel, 1e-9))) > s.max_log_aff_fac_in_window) \
+                    and n - len(flags) > s.min_frames:
+                flags.append(i)
+        if n + 1 - len(flags) >= s.max_frames:
+            # drop the frame with the smallest pairwise-distance score
+            T_cw = np.asarray(B.state_to_pose(self.ba.T_cw_eval, self.ba.state))
+            best_score, best_i = 1.0, None
+            for i in range(n - 1):
+                if i == 0 and len(self.kf_shell_ids) <= s.max_frames:
+                    continue
+                if i in flags:
+                    continue
+                dist_score = 0.0
+                for j in range(n - 1):
+                    if j == i:
+                        continue
+                    d = np.linalg.norm(
+                        np.linalg.inv(T_cw[j]) @ T_cw[i][:, 3])
+                    dist_score += 1.0 / (1e-5 + d)
+                d_latest = np.linalg.norm(
+                    (np.linalg.inv(T_cw[n - 1]) @ T_cw[i])[:3, 3])
+                dist_score *= -np.sqrt(max(d_latest, 1e-9))
+                if dist_score < best_score:
+                    best_score, best_i = dist_score, i
+            if best_i is not None:
+                flags.append(best_i)
+        return sorted(flags)
+
+    def _activate_points(self):
+        """activatePointsMT (FullSystem.cpp:375-531) with brute-force
+        distance instead of the BFS distance map."""
+        s = self.settings
+        n_pts = int(jnp.sum(self.ba.pt_valid))
+        d = s.desired_point_density
+        delta = 0.0
+        if n_pts < d * 0.66: delta -= 0.8
+        if n_pts < d * 0.8: delta -= 0.5
+        elif n_pts < d * 0.9: delta -= 0.2
+        elif n_pts < d: delta -= 0.1
+        if n_pts > d * 1.5: delta += 0.8
+        if n_pts > d * 1.3: delta += 0.5
+        if n_pts > d * 1.15: delta += 0.2
+        if n_pts > d: delta += 0.1
+        self.current_min_act_dist = float(
+            np.clip(self.current_min_act_dist + delta, 0.0, 4.0))
+
+        newest = int(jnp.sum(self.ba.frame_valid)) - 1
+        imm = self.imm
+
+        # candidate gate (canActivate)
+        can = (
+            imm.valid
+            & ((imm.status == TR.IPS_GOOD) | (imm.status == TR.IPS_SKIPPED)
+               | (imm.status == TR.IPS_BADCONDITION) | (imm.status == TR.IPS_OOB))
+            & (imm.quality > s.min_trace_quality)
+            & ((imm.idepth_max + imm.idepth_min) > 0)
+            & jnp.isfinite(imm.idepth_max)
+        )
+        # delete never-traced/outlier points
+        kill = imm.valid & (~jnp.isfinite(imm.idepth_max)
+                            | (imm.status == TR.IPS_OUTLIER))
+        # project candidates into newest frame (level-1 coords like reference)
+        pre = B.make_precalc(self.ba)
+        Rn = pre.R[imm.host, newest]
+        tn = pre.t[imm.host, newest]
+        fx, fy, cx, cy = B.calib_real(self.ba)
+        KliP = jnp.stack([(imm.u - cx) / fx, (imm.v - cy) / fy,
+                          jnp.ones_like(imm.u)], -1)
+        mid_id = 0.5 * (imm.idepth_min + jnp.where(
+            jnp.isfinite(imm.idepth_max), imm.idepth_max, imm.idepth_min))
+        ptp = jnp.einsum("nij,nj->ni", Rn, KliP) + tn * mid_id[:, None]
+        pu = (ptp[:, 0] / ptp[:, 2] * fx + cx) * 0.5   # level-1
+        pv = (ptp[:, 1] / ptp[:, 2] * fy + cy) * 0.5
+        inb = (pu > 0) & (pv > 0) & (pu < self.w // 2) & (pv < self.h // 2)
+        kill |= imm.valid & can & ~inb
+        can &= inb
+
+        # distance to nearest existing map point projected into the newest
+        # frame (replaces CoarseDistanceMap's BFS with exact brute force)
+        Rm = pre.R[self.ba.host, newest]
+        tm = pre.t[self.ba.host, newest]
+        KliPm = jnp.stack([(self.ba.u - cx) / fx, (self.ba.v - cy) / fy,
+                           jnp.ones_like(self.ba.u)], -1)
+        ptm = jnp.einsum("nij,nj->ni", Rm, KliPm) + tm * self.ba.idepth[:, None]
+        mu = (ptm[:, 0] / ptm[:, 2] * fx + cx) * 0.5
+        mv = (ptm[:, 1] / ptm[:, 2] * fy + cy) * 0.5
+        m_ok = self.ba.pt_valid & (ptm[:, 2] > 0)
+        dist = _min_dist(pu, pv, mu, mv, m_ok)
+        want = can & (dist >= self.current_min_act_dist * imm.my_type)
+
+        # batched activation GN
+        affLL = pre.affLL
+        idepth, ok, res_in = TR.activate_points(
+            imm, want, self.dI, pre.R, pre.t, affLL, self.ba.frame_valid,
+            (float(fx), float(fy), float(cx), float(cy)),
+            self.w, self.h, self.settings,
+        )
+        ok = ok & want
+
+        slot, accepted = WIN.scatter_into_free_slots(self.ba.pt_valid, ok)
+        self.ba = WIN.insert_points(
+            self.ba, slot, accepted, host=imm.host, u=imm.u, v=imm.v,
+            color=imm.color, weight=imm.weights, idepth=idepth,
+            prior_w=jnp.zeros_like(idepth),
+        )
+        # activated or killed immature points leave the pool
+        self.imm = imm._replace(valid=imm.valid & ~ok & ~kill)
+
+    def _flag_and_marginalize_points(self, frame_marg_flags):
+        """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
+        s = self.settings
+        ba = self.ba
+        n = int(jnp.sum(ba.frame_valid))
+        newest = n - 1
+        flagged_hosts = jnp.zeros(self.F, bool)
+        for k in frame_marg_flags:
+            flagged_hosts = flagged_hosts.at[k].set(True)
+
+        n_res = jnp.sum(ba.res_exist & ba.pt_valid[:, None], -1)
+        host_flagged = flagged_hosts[ba.host]
+        # drop: no residuals or negative idepth
+        drop = ba.pt_valid & ((ba.idepth < 0) | (n_res == 0))
+        # OOB policy (PointHessian::isOOB simplified to its dominant terms):
+        # flagged host, or most residuals target flagged frames
+        vis_in_marg = jnp.sum(
+            ba.res_exist & flagged_hosts[None, :]
+            & (ba.res_state == B.RES_IN), -1)
+        oob = ba.pt_valid & (
+            host_flagged
+            | ((n_res >= s.min_good_active_res_for_marg)
+               & (n_res - vis_in_marg < s.min_good_active_res_for_marg))
+        )
+        # last-residual OOB proxy: invisible in the two newest frames
+        if n >= 3:
+            oob |= ba.pt_valid & ~ba.res_exist[:, newest] \
+                & ~ba.res_exist[:, newest - 1] & (n_res >= 2)
+        inlier = n_res >= s.min_good_active_res_for_marg
+        # idepth hessian gate
+        well = self.HdiF > 0
+        hess_ok = jnp.where(well, 1.0 / jnp.maximum(self.HdiF, 1e-12), 0.0) \
+            > s.min_idepth_h_marg
+        marg = oob & inlier & hess_ok & ~drop
+        drop = drop | (oob & ~(inlier & hess_ok))
+
+        # per-host death counts feed the frame-marginalization policy
+        died = np.asarray(jax.ops.segment_sum(
+            (marg | drop).astype(jnp.int32), ba.host, self.F))
+        self.host_out += died
+
+        self.ba = E.marginalize_points(ba, self.dI, marg, s, self.w, self.h)
+        self.ba = E.drop_points(self.ba, drop)
+
+    def _make_new_traces(self, pyr, slot):
+        """makeNewTraces (FullSystem.cpp:1071-1097)."""
+        s = self.settings
+        _, absgrads = build_pyramid(pyr[0][..., 0], 3)
+        self.key, k = jax.random.split(self.key)
+        status, n_sel, _ = selector.make_maps(
+            pyr[0], absgrads, s, s.desired_immature_density, k, recursions=1)
+        n_slots = min(s.max_immature, self.imm.u.shape[0])
+        u, v, my_type = selector.extract_points(status, n_slots)
+        new_pts = TR.init_immature(
+            u, v, jnp.full_like(u, slot, dtype=jnp.int32), my_type, pyr[0],
+            s, n_slots)
+        # scatter into free immature slots
+        slot_idx, accepted = WIN.scatter_into_free_slots(
+            self.imm.valid, new_pts.valid)
+        im = self.imm
+        si = jnp.where(accepted, slot_idx, im.u.shape[0])
+
+        def put(arr, vals):
+            return arr.at[si].set(vals, mode="drop")
+
+        self.imm = im._replace(
+            valid=im.valid.at[si].set(True, mode="drop"),
+            host=put(im.host, new_pts.host),
+            u=put(im.u, new_pts.u), v=put(im.v, new_pts.v),
+            color=put(im.color, new_pts.color),
+            weights=put(im.weights, new_pts.weights),
+            gradH=put(im.gradH, new_pts.gradH),
+            energy_th=put(im.energy_th, new_pts.energy_th),
+            idepth_min=put(im.idepth_min, jnp.zeros_like(new_pts.u)),
+            idepth_max=put(im.idepth_max, jnp.full_like(new_pts.u, jnp.inf)),
+            status=put(im.status, jnp.full_like(new_pts.host, TR.IPS_UNINITIALIZED
+                                                ).astype(jnp.int8)),
+            quality=put(im.quality, jnp.full_like(new_pts.u, 10000.0)),
+            my_type=put(im.my_type, new_pts.my_type),
+        )
+
+    def _marginalize_frames(self, flags: List[int]):
+        """Marginalize flagged window slots (highest first so indices hold)."""
+        for k in sorted(flags, reverse=True):
+            # points hosted in k should be gone; drop stragglers
+            stragglers = self.ba.pt_valid & (self.ba.host == k)
+            self.ba = E.drop_points(self.ba, stragglers)
+            # kill residuals targeting k
+            self.ba = self.ba._replace(
+                res_exist=self.ba.res_exist.at[:, k].set(False))
+            # immature points hosted in k die with it; remap others
+            self.imm = self.imm._replace(
+                valid=self.imm.valid & (self.imm.host != k),
+                host=jnp.where(self.imm.host > k, self.imm.host - 1,
+                               self.imm.host),
+            )
+            sh_idx = self.frame_shell_idx[k]
+            self.shells[sh_idx].marginalized_at = len(self.shells)
+            kf_record = self._export_kf(k)
+            self.ba = E.marginalize_frame(self.ba, jnp.int32(k))
+            # shift host-side bookkeeping
+            self.dI = jnp.concatenate(
+                [self.dI[:k], self.dI[k + 1:], jnp.zeros_like(self.dI[:1])], 0)
+            self.frame_pyramids = (self.frame_pyramids[:k]
+                                   + self.frame_pyramids[k + 1:] + [None])
+            del self.frame_shell_idx[k]
+            self.host_out[k:-1] = self.host_out[k + 1:]
+            self.host_out[-1] = 0
+            if self.ref_slot > k:
+                self.ref_slot -= 1
+            for cb in self.marg_callbacks:
+                cb(kf_record)
+
+    def _export_kf(self, k: int):
+        """Final-KF record for loop closure / output (publishKeyframes
+        final=true)."""
+        sh = self.shells[self.frame_shell_idx[k]]
+        return dict(shell=sh, slot=k)
+
+    # ------------------------------------------------------------------
+    def trajectory(self) -> np.ndarray:
+        """poses.txt contract: one row `id x y z` per keyframe
+        (LoopHandler::savePose, LoopHandler.cpp:62-76)."""
+        rows = []
+        for sh in self.shells:
+            if sh.is_kf:
+                t = sh.cam_to_world[:3, 3]
+                rows.append([sh.id, t[0], t[1], t[2]])
+        return np.array(rows)
+
+
+@jax.jit
+def _min_dist(qu, qv, tu, tv, tvalid):
+    """Min distance from each query to the point set (same-level pixels)."""
+    d = (qu[:, None] - tu[None, :]) ** 2 + (qv[:, None] - tv[None, :]) ** 2
+    d = jnp.where(tvalid[None, :], d, jnp.inf)
+    return jnp.sqrt(jnp.min(d, -1))

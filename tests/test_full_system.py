@@ -1,0 +1,86 @@
+"""End-to-end monocular odometry test on a synthetic sequence.
+
+This is the round-trip integration test the reference lacks (SURVEY.md §4):
+run the full pipeline (initializer -> tracker -> keyframes -> BA ->
+marginalization) over a rendered trajectory and compare the estimated
+keyframe trajectory with ground truth after scale alignment (mono gauge).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sos_slam_tpu.models.full_system import FullSystem
+from sos_slam_tpu.utils import lie, synthetic
+from sos_slam_tpu.utils.config import default_settings
+
+W, H = 256, 192
+
+
+def small_settings():
+    return default_settings(
+        max_window_frames=8,
+        max_points=512,
+        max_immature=1024,
+        max_track_pts=4096,
+        desired_point_density=400.0,
+        desired_immature_density=400.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def run_sequence():
+    calib = synthetic.default_calib(W, H)
+    twist = jnp.array([0.05, 0.02, 0.03, 0.003, 0.006, 0.002])
+    n_frames = 30
+    imgs, idepths, poses = synthetic.make_sequence(calib, n_frames, twist,
+                                                   plane_z=2.0)
+    fs = FullSystem(calib, small_settings())
+    for i in range(n_frames):
+        fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
+        if fs.is_lost or fs.init_failed:
+            break
+    return fs, np.asarray(poses)
+
+
+def test_pipeline_runs(run_sequence):
+    fs, poses = run_sequence
+    assert not fs.is_lost, "tracking lost"
+    assert not fs.init_failed, "init failed"
+    assert fs.initialized, "never initialized"
+    assert fs.stats["n_kf"] >= 3, fs.stats
+
+
+def test_trajectory_accuracy(run_sequence):
+    fs, poses_gt = run_sequence
+    traj = fs.trajectory()
+    assert traj.shape[0] >= 3
+    ids = traj[:, 0].astype(int)
+    est = traj[:, 1:4]
+    gt = poses_gt[ids, :3, 3]
+
+    # mono scale gauge: align translation scale (first KF at origin for both)
+    est_n = np.linalg.norm(est, axis=1)
+    gt_n = np.linalg.norm(gt, axis=1)
+    nz = gt_n > 1e-6
+    scale = np.median(est_n[nz] / gt_n[nz]) if nz.any() else 1.0
+    err = np.linalg.norm(est / max(scale, 1e-9) - gt, axis=1)
+    ate = np.sqrt(np.mean(err ** 2))
+    path_len = np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1))
+    assert ate < 0.05 * max(path_len, 1e-9) + 0.01, (ate, path_len)
+
+
+def test_window_invariants(run_sequence):
+    fs, _ = run_sequence
+    n = int(jnp.sum(fs.ba.frame_valid))
+    assert 2 <= n <= fs.settings.max_frames + 1
+    # all valid points host valid frames
+    host_ok = np.asarray(fs.ba.host)[np.asarray(fs.ba.pt_valid)]
+    assert (host_ok < n).all()
+    # residuals only into valid frames
+    re = np.asarray(fs.ba.res_exist)
+    assert not re[:, n:].any()
+    # HM finite and symmetric
+    HM = np.asarray(fs.ba.HM)
+    assert np.isfinite(HM).all()
