@@ -46,10 +46,24 @@ class FrameShell:
     tracking_ref: Optional[int] = None  # id of reference KF shell
     is_kf: bool = False
     marginalized_at: int = -1
+    # stereo metric-scale bookkeeping (FrameShell.h:51-60)
+    scale: float = 1.0
+    scale_error: float = -1.0
+    cam_to_world_scaled: Optional[np.ndarray] = None
+    dso_error: float = np.nan           # BA energy stat for loop-edge weights
+
+
+@dataclasses.dataclass
+class StereoCalib:
+    """Right-camera intrinsics + left->right extrinsics (ScaleOptimizer.h)."""
+
+    T_lr: np.ndarray                    # (4,4) left -> right
+    calib_right: CalibPyramid
 
 
 class FullSystem:
-    def __init__(self, calib: CalibPyramid, settings: Settings):
+    def __init__(self, calib: CalibPyramid, settings: Settings,
+                 stereo: Optional[StereoCalib] = None):
         self.calib = calib
         self.settings = settings
         self.n_levels = calib.levels
@@ -125,6 +139,15 @@ class FullSystem:
         self.shells: List[FrameShell] = []
         self.kf_shell_ids: List[int] = []
         self.host_out = np.zeros(F, np.int64)  # per-slot dead-point counts
+
+        # stereo scale optimization state (FullSystem.cpp:1117-1180)
+        self.stereo = stereo
+        if settings.enable_scale_opt and stereo is None:
+            raise ValueError("enable_scale_opt requires a StereoCalib")
+        self.scale_trapped = False
+        self.scale_opt_fails = 0
+        self.current_scale = 1.0   # global map->metric scale (HCalib.scale)
+        self._pending_right = None
         self.key = jax.random.PRNGKey(3141592)
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
@@ -133,11 +156,18 @@ class FullSystem:
     # public API (reference FullSystem::addActiveFrame, FullSystem.cpp:616)
     # ------------------------------------------------------------------
     def add_active_frame(self, image: jnp.ndarray, timestamp: float,
-                         frame_id: int, exposure: float = 1.0):
+                         frame_id: int, exposure: float = 1.0,
+                         image_right: Optional[jnp.ndarray] = None):
         if self.is_lost:
             return
         pyr, absgrads = build_pyramid(jnp.asarray(image, jnp.float32),
                                       self.n_levels)
+        if self.settings.enable_scale_opt and image_right is not None:
+            # right pyramid built lazily only when a KF is made (reference
+            # builds the stereo frame only on needToMakeKF)
+            self._pending_right = jnp.asarray(image_right, jnp.float32)
+        else:
+            self._pending_right = None
         shell = FrameShell(id=frame_id, timestamp=timestamp,
                            cam_to_world=np.eye(4), aff=np.zeros(2))
         self.shells.append(shell)
@@ -475,6 +505,11 @@ class FullSystem:
         self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
         self.ref_exposure = exposure
 
+        # stereo scale optimization (optimizeScale, FullSystem.cpp:1117-1180)
+        if self.settings.enable_scale_opt:
+            self._optimize_scale(shell)
+        self._update_scaled_poses()
+
         # flag points for removal / marginalization
         self._flag_and_marginalize_points(marg_flags)
 
@@ -487,6 +522,55 @@ class FullSystem:
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
 
     # ------------------------------------------------------------------
+    def _optimize_scale(self, shell):
+        """Per-KF stereo 1-DoF scale solve with trapping / fail counting
+        (FullSystem::optimizeScale)."""
+        from sos_slam_tpu.ops import scale_opt as SO
+        if self._pending_right is None:
+            shell.scale_error = -1.0
+            return
+        pyr_r, _ = build_pyramid(self._pending_right,
+                                 self.stereo.calib_right.levels)
+        T_lr = jnp.asarray(self.stereo.T_lr, jnp.float32)
+        R01, t01 = T_lr[:3, :3], T_lr[:3, 3]
+        intr0 = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        intr1 = tuple(self.stereo.calib_right.intrinsics(l)
+                      for l in range(self.n_levels))
+        if self.scale_trapped:
+            s, err = SO.optimize_scale(
+                pyr_r, self.templates, jnp.float32(self.current_scale),
+                R01, t01, intr0, intr1, self.n_levels)
+        else:
+            s, err = SO.optimize_scale_multi_guess(
+                pyr_r, self.templates, R01, t01, intr0, intr1, self.n_levels)
+        s, err = float(s), float(err)
+        ok = 0 < err < self.settings.scale_opt_thres
+        self.scale_opt_fails = 0 if ok else self.scale_opt_fails + 1
+        if self.scale_opt_fails > 5:
+            self.scale_trapped = False
+        shell.scale_error = err
+        if ok:
+            self.current_scale = s
+            self.scale_trapped = True
+
+    def _update_scaled_poses(self):
+        """camToWorldScaled chain (FullSystemOptimize.cpp:437-456): every
+        window shell takes the CURRENT global scale, then the scaled chain
+        is rebuilt through each frame's tracking reference."""
+        by_id = {sh.id: sh for sh in self.shells}
+        for i in self.frame_shell_idx:
+            sh = self.shells[i]
+            sh.scale = self.current_scale
+            ref = by_id.get(sh.tracking_ref) if sh.tracking_ref is not None \
+                else None
+            if ref is None or ref.cam_to_world_scaled is None:
+                sh.cam_to_world_scaled = sh.cam_to_world.copy()
+                continue
+            rel = np.linalg.inv(ref.cam_to_world) @ sh.cam_to_world
+            rel = rel.copy()
+            rel[:3, 3] *= ref.scale
+            sh.cam_to_world_scaled = ref.cam_to_world_scaled @ rel
+
     def _flag_frames_for_marginalization(self) -> List[int]:
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:54-141).
         Returns window-slot indices to marginalize AFTER this KF."""
@@ -735,13 +819,17 @@ class FullSystem:
         return dict(shell=sh, slot=k)
 
     # ------------------------------------------------------------------
-    def trajectory(self) -> np.ndarray:
+    def trajectory(self, scaled: bool = False) -> np.ndarray:
         """poses.txt contract: one row `id x y z` per keyframe
-        (LoopHandler::savePose, LoopHandler.cpp:62-76)."""
+        (LoopHandler::savePose, LoopHandler.cpp:62-76). scaled=True uses the
+        metric camToWorldScaled chain (stereo)."""
         rows = []
         for sh in self.shells:
             if sh.is_kf:
-                t = sh.cam_to_world[:3, 3]
+                T = sh.cam_to_world_scaled if (
+                    scaled and sh.cam_to_world_scaled is not None
+                ) else sh.cam_to_world
+                t = T[:3, 3]
                 rows.append([sh.id, t[0], t[1], t[2]])
         return np.array(rows)
 
