@@ -1,0 +1,205 @@
+"""Spline-VIO unit tests: evaluators, closed-form init, Hessian FD checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_slam_tpu.models import imu as IM
+from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.utils import lie
+from sos_slam_tpu.utils.config import default_settings
+
+F = 8
+SETTINGS = default_settings(weight_imu_dso=6.0)
+GRAVITY = jnp.asarray(SETTINGS.gravity)
+
+
+def cubic_trajectory(t, l0, q0, c0):
+    """Ground-truth cubic camera trajectory in se(3)-coefficient form:
+    translation p(t) = l_t*t + q_t*t^2 + c_t*t^3; rotation log
+    r(t) = l_r*t + q_r*t^2 + c_r*t^3 (world <- cam)."""
+    p = l0[:3] * t + q0[:3] * t * t + c0[:3] * t ** 3
+    r = l0[3:] * t + q0[3:] * t * t + c0[3:] * t ** 3
+    T = jnp.eye(4)
+    T = T.at[:3, :3].set(lie.so3_exp(r))
+    T = T.at[:3, 3].set(p)
+    return T
+
+
+def make_vio_window(n_frames=5, kf_dt=0.25, imu_hz=200.0, bias_g=(0.01, -0.02, 0.015)):
+    """5 KFs on a cubic trajectory + synthetic IMU samples generated with the
+    reference's measurement model (acc = R_iw(a_w + gravity) + ba)."""
+    l0 = jnp.array([0.3, 0.1, 0.2, 0.05, 0.08, -0.04])
+    q0 = jnp.array([0.05, -0.03, 0.04, 0.02, -0.01, 0.03])
+    c0 = jnp.array([0.01, 0.02, -0.01, 0.005, 0.01, -0.008])
+    bias_g = jnp.asarray(bias_g)
+
+    ts = jnp.arange(n_frames) * kf_dt
+    poses = jnp.stack([cubic_trajectory(t, l0, q0, c0) for t in ts])
+
+    # IMU samples in each KF's interval (t_rel <= 0 wrt the KF's own time)
+    n_per = int(kf_dt * imu_hz)
+    assert n_per <= IM.N_IMU
+    acc = jnp.zeros((F, IM.N_IMU, 3))
+    gyro = jnp.zeros((F, IM.N_IMU, 3))
+    ts_rel = jnp.zeros((F, IM.N_IMU))
+    valid = jnp.zeros((F, IM.N_IMU), bool)
+
+    for i in range(1, n_frames):
+        t_samples = ts[i] - (jnp.arange(n_per)[::-1] + 1) / imu_hz
+        tr = t_samples - ts[i]
+        # analytic world-frame acceleration and body rates of the cubic
+        a_w = 2 * q0[:3] + 6 * t_samples[:, None] * c0[:3]
+        # gyro (cam frame): omega such that R(t) = exp(r(t)); for the test we
+        # use the same first-order spline model the predictor uses:
+        w_c = (l0[3:] + 2 * t_samples[:, None] * q0[3:]
+               + 3 * (t_samples ** 2)[:, None] * c0[3:])
+        R_w = lie.so3_exp(l0[3:] * t_samples[:, None]
+                          + q0[3:] * (t_samples ** 2)[:, None]
+                          + c0[3:] * (t_samples ** 3)[:, None])
+        a_meas = jnp.einsum("nji,j->ni", R_w, jnp.zeros(3)) * 0
+        a_meas = jnp.einsum("nji,nj->ni", R_w, a_w + GRAVITY)
+        g_meas = w_c + bias_g
+        acc = acc.at[i, :n_per].set(a_meas)
+        gyro = gyro.at[i, :n_per].set(g_meas)
+        ts_rel = ts_rel.at[i, :n_per].set(tr)
+        valid = valid.at[i, :n_per].set(True)
+
+    # BAState with gt poses
+    ba, _, _, _ = _bare_ba(poses, n_frames)
+    imu = IM.empty_imu(F)._replace(
+        timestamps=jnp.pad(ts, (0, F - n_frames)),
+        acc=acc, gyro=gyro, ts=ts_rel, imu_valid=valid,
+    )
+    return ba, imu, dict(l0=l0, q0=q0, c0=c0, bias_g=bias_g, poses=poses)
+
+
+def _bare_ba(poses, n_frames):
+    P = 8
+    D = 4 + 8 * F
+    fv = jnp.arange(F) < n_frames
+    T_eval = jnp.stack([jnp.eye(4)] * F)
+    for i in range(n_frames):
+        T_eval = T_eval.at[i].set(poses[i])
+    ba = B.BAState(
+        frame_valid=fv, T_cw_eval=T_eval,
+        state=jnp.zeros((F, 8)), state_zero=jnp.zeros((F, 8)),
+        exposure=jnp.ones(F), energy_th=jnp.full((F,), 1e4),
+        prior=jnp.zeros((F, 8)),
+        c=jnp.ones(4), c_zero=jnp.ones(4),
+        pt_valid=jnp.zeros(P, bool), host=jnp.zeros(P, jnp.int32),
+        u=jnp.zeros(P), v=jnp.zeros(P), color=jnp.zeros((P, 8)),
+        weight=jnp.zeros((P, 8)), idepth=jnp.zeros(P),
+        idepth_zero=jnp.zeros(P), pt_prior=jnp.zeros(P),
+        res_exist=jnp.zeros((P, F), bool),
+        res_state=jnp.zeros((P, F), jnp.int8),
+        HM=jnp.zeros((D, D)), bM=jnp.zeros(D),
+    )
+    return ba, None, None, None
+
+
+class TestInit:
+    def test_initialize_recovers_bias_and_spline(self):
+        ba, imu, gt = make_vio_window()
+        imu2, ok = IM.initialize_imu(ba, imu, SETTINGS)
+        assert bool(ok)
+        # gyro bias recovered
+        bg = np.asarray(imu2.state[4, 3:6]) * 1.0   # SCALE_BG = 1
+        np.testing.assert_allclose(bg, np.asarray(gt["bias_g"]), atol=5e-3)
+        # spline coefficients of the base frame match the gt cubic
+        s21 = np.asarray(imu2.state[4] * np.asarray(IM.IMU_SCALE21))
+        np.testing.assert_allclose(s21[15:18], np.asarray(gt["c0"][:3]),
+                                   atol=2e-2)
+        # velocity of base frame: l + 2q t + 3c t^2 at t=ts[4]-ts[4]... base
+        # frame t0=0 wrt itself -> vel = value at its own time
+        t4 = float(imu.timestamps[4])
+        v_gt = np.asarray(gt["l0"][:3] + 2 * gt["q0"][:3] * t4
+                          + 3 * gt["c0"][:3] * t4 * t4)
+        np.testing.assert_allclose(np.asarray(imu2.vel[4]), v_gt, atol=1e-2)
+
+    def test_mono_scale_recovery(self):
+        """With map poses scaled by 1/s, init must recover scale s."""
+        ba, imu, gt = make_vio_window()
+        s_true = 2.0
+        T_scaled = ba.T_cw_eval.at[:, :3, 3].mul(1.0 / s_true)
+        ba2 = ba._replace(T_cw_eval=T_scaled)
+        imu2, ok = IM.initialize_imu(ba2, imu, SETTINGS)
+        assert bool(ok)
+        assert abs(float(imu2.scale * IM.SCALE_SCALE) - s_true) < 0.1, \
+            float(imu2.scale * IM.SCALE_SCALE)
+
+
+class TestHessian:
+    def test_zero_residual_at_truth(self):
+        ba, imu, gt = make_vio_window()
+        imu2, _ = IM.initialize_imu(ba, imu, SETTINGS)
+        r, Js, Jf, valid = IM.imu_sample_jacobians(
+            ba, imu2, SETTINGS,
+            jnp.asarray(SETTINGS.rot_imu_cam).reshape(3, 3),
+            GRAVITY, None)
+        resid = np.asarray(jnp.where(valid[..., None], r, 0.0))
+        assert np.abs(resid).max() < 0.15, np.abs(resid).max()
+
+    def test_b_matches_fd(self):
+        """b = J^T W r must equal the FD gradient of 0.5 sum r^T W r wrt the
+        internal imu state (untrapped: jacobians at current state)."""
+        ba, imu, gt = make_vio_window()
+        imu2, _ = IM.initialize_imu(ba, imu, SETTINGS)
+        # perturb to get non-zero residuals, stay untrapped
+        imu2 = imu2._replace(
+            state=imu2.state + 1e-3,
+            spline_valid=imu2.spline_valid,
+            scale_trapped=jnp.array(False))
+        w_imu, _ = SETTINGS.imu_weights()
+        W = jnp.asarray(w_imu, jnp.float32)
+        ric = jnp.asarray(SETTINGS.rot_imu_cam, jnp.float32).reshape(3, 3)
+
+        def energy(state_f3):
+            im = imu2._replace(state=imu2.state.at[3].set(state_f3))
+            r, _, _, valid = IM.imu_sample_jacobians(ba, im, SETTINGS, ric,
+                                                     GRAVITY, None)
+            rm = jnp.where(valid[..., None], r, 0.0)
+            return 0.5 * jnp.einsum("fni,ij,fnj->", rm, W, rm)
+
+        H, b, J_cst, r_cst, cvalid = IM.imu_hessian(ba, imu2, SETTINGS)
+        blk = IM._frame_block(3)
+        b_f3 = np.asarray(b[blk + 8:blk + 29])   # imu part of frame 3
+
+        g_num = np.zeros(21)
+        eps = 1e-5
+        s0 = imu2.state[3]
+        for k in range(21):
+            ep = float(energy(s0.at[k].add(eps)))
+            em = float(energy(s0.at[k].add(-eps)))
+            g_num[k] = (ep - em) / (2 * eps)
+        scale = max(np.abs(g_num).max(), 1e-3)
+        np.testing.assert_allclose(b_f3 / scale, g_num / scale, atol=3e-2)
+
+    def test_constraints_zero_at_consistent_state(self):
+        ba, imu, gt = make_vio_window()
+        imu2, _ = IM.initialize_imu(ba, imu, SETTINGS)
+        H, b, J_cst, r_cst, cvalid = IM.imu_hessian(ba, imu2, SETTINGS)
+        rc = np.asarray(jnp.where(cvalid, r_cst, 0.0))
+        assert np.abs(rc).max() < 2e-2, np.abs(rc).max()
+
+
+class TestSolve:
+    def test_vio_solve_runs_and_reduces_residual(self):
+        ba, imu, gt = make_vio_window()
+        imu2, _ = IM.initialize_imu(ba, imu, SETTINGS)
+        # perturb frame-3 spline state
+        imu_p = imu2._replace(state=imu2.state.at[3, 6:].add(2e-3))
+        D8 = 4 + 8 * F
+        H8 = jnp.zeros((D8, D8))
+        b8 = jnp.zeros(D8)
+        # pin vision states with a strong prior so the solve acts on imu dims
+        H8 = H8 + jnp.eye(D8) * 1e8
+        x8, x_s, x_imu = IM.solve_vio(ba, imu_p, H8, b8, jnp.zeros_like(H8),
+                                      jnp.zeros(D8),
+                                      jnp.zeros((IM.vio_dim(F),) * 2),
+                                      jnp.zeros(IM.vio_dim(F)), SETTINGS)
+        assert np.isfinite(np.asarray(x_imu)).all()
+        new_state = imu_p.state - x_imu
+        err_before = float(jnp.abs(imu_p.state[3] - imu2.state[3]).max())
+        err_after = float(jnp.abs(new_state[3] - imu2.state[3]).max())
+        assert err_after < err_before, (err_before, err_after)
