@@ -1,0 +1,188 @@
+"""Scan Context place recognition on the 'imitated LiDAR scan'.
+
+TPU-native rebuild of src/LoopClosure/ScanContext.{h,cpp}: the sparse depth
+map of a marginalized keyframe is treated as a LiDAR scan, PCA-aligned to a
+NED-like frame, summarized as a 60-sector x 20-ring polar min-height
+signature; a per-ring occupancy histogram ("ringkey") gives a cheap kNN
+pre-filter, the full signature a verification score.
+
+The descriptor math is dense array code (jnp); the scan accumulation /
+candidate bookkeeping is host-side (this subsystem is asynchronous and tiny
+compared to the odometry hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sos_slam_tpu.utils import lie
+
+NUM_S = 60          # sectors
+NUM_R = 20          # rings
+RES = (1.0, 0.5, 1.0)
+CENTER_RANGE = 2.0
+VAR_HEIGHT_THRES = 5.0
+FLANN_NN = 3
+LOOP_MARGIN = 100
+RINGKEY_THRES = 0.1
+
+
+def pca_align(pts: np.ndarray, T_wc: np.ndarray,
+              enable_imu: bool) -> np.ndarray:
+    """NED-alignment transform (getAlignTfmByPCA, ScanContext.cpp:56-104).
+
+    pts: (N,3) camera-frame points. Returns T_ned_cam (4,4).
+    """
+    center = pts.mean(axis=0)
+    q = pts - center
+    cov = q.T @ q
+    w, v = np.linalg.eigh(cov)
+
+    if enable_imu:
+        # gravity-aligned z from the current pose (ScanContext.cpp:77-82)
+        z = T_wc[2, :3].copy()
+    else:
+        z = v[:, 0]
+        if z.sum() < 0:
+            z = -z
+
+    y_cands = [v[:, 1], -v[:, 1], v[:, 2], -v[:, 2]]
+    y = max(y_cands, key=lambda c: c[0])
+    y = y - z.dot(y) * z
+    y = y / max(np.linalg.norm(y), 1e-12)
+    x = np.cross(y, z)
+
+    T = np.eye(4)
+    T[0, :3] = x
+    T[1, :3] = y
+    T[2, :3] = z
+    T[:3, 3] = -T[:3, :3] @ center
+    return T
+
+
+class ScanAccumulator:
+    """Forward-camera scan assembly (process_scan_forward,
+    ScanContext.cpp:106-178): accumulate recent KFs' world points, prune by
+    orientation change > 0.5 rad and range, voxel-filter keeping the highest
+    point per voxel."""
+
+    def __init__(self, lidar_range: float, enable_imu: bool):
+        self.lidar_range = lidar_range
+        self.enable_imu = enable_imu
+        self.pts_nearby: List[Tuple[int, np.ndarray]] = []
+        self.id2pose: Dict[int, np.ndarray] = {}
+
+    def process(self, frame_id: int, T_wc: np.ndarray,
+                pts_cam: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (pts_scan (M,3) camera frame, T_sc_rig (4,4))."""
+        self.id2pose[frame_id] = T_wc.copy()
+        R, t = T_wc[:3, :3], T_wc[:3, 3]
+        for p in pts_cam:
+            self.pts_nearby.append((frame_id, R @ p + t))
+
+        # prune frames whose orientation diverged
+        T_cw = np.linalg.inv(T_wc)
+        drop = []
+        for fid, pose in self.id2pose.items():
+            rel = T_cw @ pose
+            rot_norm = np.linalg.norm(
+                np.asarray(lie.so3_log(jnp.asarray(rel[:3, :3],
+                                                   jnp.float32))))
+            if rot_norm > 0.5:
+                drop.append(fid)
+        for fid in drop:
+            del self.id2pose[fid]
+
+        # range filter + voxel keep-highest (-y is up in camera frame)
+        r = self.lidar_range
+        steps = np.array([1.0 / RES[0], 1.0 / RES[1], 1.0 / RES[2]])
+        vox: Dict[int, Tuple[int, np.ndarray]] = {}
+        sizes = np.floor(2 * r * steps).astype(int) + 1
+        loc_step = np.array([1, sizes[0], sizes[0] * sizes[1]])
+        for i, (fid, p_g) in enumerate(self.pts_nearby):
+            if fid not in self.id2pose:
+                continue
+            p_l = T_cw[:3, :3] @ p_g + T_cw[:3, 3]
+            if np.linalg.norm(p_l) >= r:
+                continue
+            idx3 = np.floor((p_l + r) * steps).astype(int)
+            loc = int(idx3 @ loc_step)
+            if loc not in vox or -vox[loc][1][1] < -p_l[1]:
+                vox[loc] = (i, p_l)
+
+        pts_scan = np.array([pl for _, pl in vox.values()]) \
+            if vox else np.zeros((0, 3))
+        self.pts_nearby = [self.pts_nearby[i] for i, _ in vox.values()]
+
+        if len(pts_scan) < 8:
+            return pts_scan, np.eye(4)
+        T_sc_rig = pca_align(pts_scan, T_wc, self.enable_imu)
+        return pts_scan, T_sc_rig
+
+
+def generate(pts_cam: np.ndarray, T_sc_rig: np.ndarray,
+             lidar_range: float) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Descriptor (generate, ScanContext.cpp:240-308).
+
+    Returns (signature (NUM_S, NUM_R) dense, 0 = empty; ringkey (NUM_R,);
+    usable flag from the height-variance gate)."""
+    if len(pts_cam) == 0:
+        return np.zeros((NUM_S, NUM_R)), np.zeros(NUM_R), False
+    p = (T_sc_rig[:3, :3] @ pts_cam.T).T + T_sc_rig[:3, 3]
+    theta = np.mod(np.arctan2(p[:, 1], p[:, 0]), 2 * np.pi)
+    si = np.minimum((theta / (2 * np.pi) * NUM_S).astype(int), NUM_S - 1)
+    ri = (np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2) / lidar_range * NUM_R).astype(int)
+    ok = ri < NUM_R
+    si, ri, d = si[ok], ri[ok], p[ok, 2]
+
+    sig = np.full((NUM_S, NUM_R), np.inf)
+    np.minimum.at(sig, (si, ri), d)
+
+    filled = np.isfinite(sig)
+    ringkey = filled.sum(axis=0) / NUM_S
+    vals = sig[filled]
+    if vals.size == 0:
+        return np.zeros((NUM_S, NUM_R)), ringkey, False
+    var_height = vals.var()
+
+    norm_si = np.sqrt(np.sum(np.where(filled, sig ** 2, 0.0), axis=1))
+    sig_n = np.where(filled, sig / np.maximum(norm_si[:, None], 1e-12), 0.0)
+    return sig_n, ringkey, bool(var_height > VAR_HEIGHT_THRES)
+
+
+class RingkeyIndex:
+    """Brute-force kNN over stored ringkeys with the 100-frame insertion
+    margin (search_ringkey, ScanContext.cpp:310-342)."""
+
+    def __init__(self):
+        self.keys: List[np.ndarray] = []   # searchable
+        self.queue: List[np.ndarray] = []  # waiting LOOP_MARGIN frames
+
+    def search_and_insert(self, ringkey: np.ndarray) -> List[int]:
+        cands: List[int] = []
+        if len(self.keys) > FLANN_NN:
+            K = np.stack(self.keys)
+            d = np.sum((K - ringkey[None, :]) ** 2, axis=1)
+            order = np.argsort(d)[:FLANN_NN]
+            for i in order:
+                if d[i] < RINGKEY_THRES and i > 0:
+                    cands.append(int(i))
+        self.queue.append(ringkey.copy())
+        if len(self.queue) > LOOP_MARGIN:
+            self.keys.append(self.queue.pop(0))
+        return cands
+
+
+def search_sc(signature: np.ndarray, candidates: List[int],
+              all_sigs: List[np.ndarray]) -> Tuple[int, float]:
+    """Signature matching score (search_sc, ScanContext.cpp:344-371)."""
+    best_idx, best_diff = candidates[0], 1.1
+    for c in candidates:
+        prod = float(np.sum(signature * all_sigs[c]))
+        diff = (1.0 - prod / NUM_S) / 2.0
+        if diff < best_diff:
+            best_idx, best_diff = c, diff
+    return best_idx, best_diff

@@ -161,6 +161,249 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
                     n_active=n_active, is_lost=is_lost)
 
 
+def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
+                w: int, h: int):
+    """One VIO GN iteration: vision linearization + IMU Hessian + KKT solve
+    (the imu_valid branch of solveSystemF)."""
+    from sos_slam_tpu.models import imu as IM
+
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+    ba = ba._replace(energy_th=update_energy_th(ba, lin, settings))
+
+    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
+    sc = B.accumulate_schur(ba, pre, lin)
+    H_sc, b_sc = B.schur_Hb(sc)
+
+    x8, x_scale, x_imu = IM.solve_vio(ba, imu, H_top, b_top, H_sc, b_sc,
+                                      imu.HM, imu.bM, settings)
+    x8 = jnp.where(jnp.isfinite(x8), x8, 0.0)
+    x_imu = jnp.where(jnp.isfinite(x_imu), x_imu, 0.0)
+    x_scale = jnp.where(jnp.isfinite(x_scale), x_scale, 0.0)
+
+    step_fr = -x8[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
+    step_pt = B.resubstitute(sc, x8) * ba.pt_valid
+    step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
+
+    new_imu_state = imu.state - x_imu * imu.bias_valid[:, None]
+    new_scale = imu.scale - jnp.where(settings.enable_scale_opt, 0.0, x_scale)
+
+    nvalid = jnp.maximum(jnp.sum(ba.frame_valid), 1)
+    sumA = jnp.sum(step_fr[:, 6] ** 2) / nvalid
+    sumB = jnp.sum(step_fr[:, 7] ** 2) / nvalid
+    sumT = jnp.sum(step_fr[:, 0:3] ** 2) / nvalid
+    sumR = jnp.sum(step_fr[:, 3:6] ** 2) / nvalid
+    npt = jnp.maximum(jnp.sum(ba.pt_valid), 1)
+    sumNID = jnp.sum(jnp.abs(ba.idepth) * ba.pt_valid) / npt
+    th = settings.th_opt_iterations
+    canbreak = (
+        (jnp.sqrt(sumA) < 0.0005 * th) & (jnp.sqrt(sumB) < 0.00005 * th)
+        & (jnp.sqrt(sumR) < 0.00005 * th)
+        & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
+    )
+
+    live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
+        & (lin.new_state != B.RES_OOB)
+    energy = jnp.sum(jnp.where(live, lin.energy, 0.0))
+
+    ba = ba._replace(
+        state=ba.state + step_fr, c=ba.c - x8[:CPARS],
+        idepth=ba.idepth + step_pt, idepth_zero=ba.idepth + step_pt,
+        res_state=lin.new_state,
+    )
+    imu = imu._replace(state=new_imu_state, scale=new_scale)
+    return ba, imu, canbreak, energy
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "max_its",
+                                             "min_its"))
+def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
+                 w: int, h: int, max_its: int, min_its: int = 1):
+    """FullSystem::optimize with IMU initialized: VIO KKT solve per step,
+    velocity update and newest-frame IMU FEJ reset afterwards."""
+    ba = ba._replace(
+        res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state))
+
+    def cond(carry):
+        _, _, it, canbreak, _ = carry
+        return (it < max_its) & ~(canbreak & (it >= min_its))
+
+    def body(carry):
+        ba_, imu_, it, _, _ = carry
+        ba2, imu2, canbreak, energy = gn_step_vio(ba_, imu_, dI, settings, w, h)
+        return (ba2, imu2, it + 1, canbreak, energy)
+
+    ba, imu, n_its, _, energy = jax.lax.while_loop(
+        cond, body, (ba, imu, jnp.int32(0), jnp.array(False), jnp.float32(0.0)))
+
+    # newest frame FEJ reset (pose part) — same as mono
+    newest = jnp.sum(ba.frame_valid) - 1
+    T_cw = B.state_to_pose(ba.T_cw_eval, ba.state)
+    sel = (jnp.arange(ba.F) == newest)[:, None]
+    zero_pose_state = ba.state.at[:, :6].set(0.0)
+    ba = ba._replace(
+        T_cw_eval=jnp.where(sel[..., None], T_cw, ba.T_cw_eval),
+        state=jnp.where(sel, zero_pose_state, ba.state),
+        state_zero=jnp.where(sel, zero_pose_state, ba.state_zero),
+    )
+
+    # updateVel(newest) from the second-newest window frame
+    from sos_slam_tpu.models import imu as IM
+    prev = jnp.maximum(newest - 1, 0)
+    t = imu.timestamps[prev] - imu.timestamps[newest]
+    T_cw2 = B.state_to_pose(ba.T_cw_eval, ba.state)
+    tsl_diff = T_cw2[prev, :3, 3] - T_cw2[newest, :3, 3]
+    sq = (imu.state[newest] * IM.IMU_SCALE21)[9:12]
+    vel_new = tsl_diff / jnp.where(jnp.abs(t) < 1e-6, -1e-6, t) \
+        - t * sq - t * t * sq
+    imu = imu._replace(
+        vel=imu.vel.at[newest].set(jnp.where(imu.scale_trapped, vel_new,
+                                             imu.vel[newest])),
+        state_zero=jnp.where(sel, imu.state, imu.state_zero),
+    )
+
+    # final linearization + residual pruning (same as mono)
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+    ba = ba._replace(
+        energy_th=update_energy_th(ba, lin, settings),
+        res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
+        res_state=lin.new_state,
+    )
+    n_active = jnp.sum(lin.active)
+    live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
+    energy_final = jnp.sum(jnp.where(live, lin.energy, 0.0))
+    rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
+    return ba, imu, dict(energy=energy_final, rmse=rmse, n_its=n_its,
+                         n_active=n_active,
+                         is_lost=~jnp.isfinite(energy_final))
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def marginalize_frame_vio(ba: B.BAState, imu, k: jnp.ndarray,
+                          settings: Settings):
+    """VIO-mode frame marginalization (EnergyFunctional::marginalizeFrame
+    IMU branch, EnergyFunctional.cpp:730-889): fold the dying frame's IMU
+    links into HM, Schur out its 29-dim block, compact both states."""
+    from sos_slam_tpu.models import imu as IM
+
+    F = ba.F
+    D = IM.vio_dim(F)
+    n = jnp.sum(ba.frame_valid)
+
+    # --- IMU connection terms of pairs (k-1,k) and (k,k+1) ---
+    keep_bias = (jnp.arange(F) >= k - 1) & (jnp.arange(F) <= k + 1)
+    keep_spl = (jnp.arange(F) == k) | (jnp.arange(F) == k + 1)
+    imu_m = imu._replace(
+        bias_valid=imu.bias_valid & keep_bias,
+        spline_valid=imu.spline_valid & keep_spl,
+    )
+    HM_change, bM_change, _, _, _ = IM.imu_hessian(ba, imu_m, settings)
+    # delta2: neighbors' deltas only (slot k stays zero)
+    delta = IM.get_vio_delta(ba, imu)
+    dim_frame = (jnp.arange(D) - (CPARS + 1)) // 29
+    keep_delta = (dim_frame != k) | (jnp.arange(D) < CPARS + 1)
+    delta = delta * keep_delta
+    bM_change = bM_change - HM_change @ delta
+    HM = imu.HM + settings.marg_weight_fac * HM_change
+    bM = imu.bM + settings.marg_weight_fac * bM_change
+
+    # --- add the dying frame's dso prior ---
+    blk = CPARS + 1 + 29 * k
+    didx = blk + jnp.arange(8)
+    HM = HM.at[didx, didx].add(ba.prior[k])
+    bM = bM.at[didx].add(ba.prior[k] * ba.state[k])
+
+    # --- discard unconstrained spline dims of the dying frame ---
+    spline_dead = ~((k > 0) & imu.spline_valid[k])
+    dim_in_frame = (jnp.arange(D) - (CPARS + 1)) % 29
+    spline_dims = (dim_frame == k) & (dim_in_frame >= 14)
+    dead = spline_dims & spline_dead
+    keepm = (~dead).astype(jnp.float32)
+    HM = HM * keepm[:, None] * keepm[None, :]
+    bM = bM * keepm
+
+    # --- permute frame k's 29-block to the last valid block, Schur it out ---
+    blk_idx = jnp.arange(F)
+    shifted = jnp.where((blk_idx >= k) & (blk_idx < n - 1), blk_idx + 1,
+                        blk_idx)
+    order = jnp.where(blk_idx == n - 1, k, shifted)
+    perm = jnp.concatenate(
+        [jnp.arange(CPARS + 1),
+         (CPARS + 1 + 29 * order[:, None] + jnp.arange(29)[None, :]
+          ).reshape(-1)])
+    HMp = HM[perm][:, perm]
+    bMp = bM[perm]
+
+    sl = CPARS + 1 + 29 * (n - 1)
+    in_marg = (jnp.arange(D) >= sl) & (jnp.arange(D) < sl + 29)
+    svec = jnp.sqrt(jnp.abs(jnp.diagonal(HMp)) + 10.0)
+    svec_i = 1.0 / svec
+    Hs = HMp * svec_i[:, None] * svec_i[None, :]
+    bs = bMp * svec_i
+    gidx = sl + jnp.arange(29)
+    Hmm = Hs[gidx][:, gidx]
+    Hmm = 0.5 * (Hmm + Hmm.T)
+    Hmm_inv = jnp.linalg.inv(Hmm)
+    Hmm_inv = 0.5 * (Hmm_inv + Hmm_inv.T)
+    keep = (~in_marg).astype(jnp.float32)
+    Hxm = Hs[:, gidx] * keep[:, None]
+    bli = Hxm @ Hmm_inv
+    Hs_new = (Hs - bli @ Hxm.T) * keep[:, None] * keep[None, :]
+    bs_new = (bs - bli @ bs[gidx]) * keep
+    HM2 = Hs_new * svec[:, None] * svec[None, :]
+    HM2 = 0.5 * (HM2 + HM2.T)
+    bM2 = bs_new * svec
+
+    # --- compact imu frame arrays ---
+    def shift(a):
+        return a[order]
+
+    last = jnp.arange(F) == (n - 1)
+    fv_new = shift(ba.frame_valid) & ~last
+    imu = imu._replace(
+        state=shift(imu.state) * fv_new[:, None],
+        state_zero=shift(imu.state_zero) * fv_new[:, None],
+        vel=shift(imu.vel), timestamps=shift(imu.timestamps),
+        bias_valid=shift(imu.bias_valid) & fv_new,
+        spline_valid=shift(imu.spline_valid) & fv_new,
+        acc=shift(imu.acc), gyro=shift(imu.gyro), ts=shift(imu.ts),
+        imu_valid=shift(imu.imu_valid) & fv_new[:, None],
+        HM=HM2, bM=bM2,
+    )
+    # spline validity of the frame now following slot k-1 breaks (its
+    # predecessor changed) unless it was k+1 tracking k-1... conservative:
+    imu = imu._replace(
+        spline_valid=imu.spline_valid.at[jnp.clip(k, 0, F - 1)].set(False))
+    ba2 = marginalize_frame(ba._replace(prior=ba.prior.at[k].set(0.0)), k)
+    return ba2, imu
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def marginalize_points_vio(ba: B.BAState, imu, dI, marg, settings, w, h):
+    """Point marginalization in VIO mode: the vision H goes into the
+    expanded (5+29F) HM (marginalizePointsF + expandHbtoFitImu)."""
+    from sos_slam_tpu.models import imu as IM
+    marg = marg & ba.pt_valid
+    pre = B.make_precalc(ba)
+    lin = _mask_lin(B.linearize(ba, pre, dI, settings, w, h), marg)
+    resZ = B.res_to_zero(ba, pre, lin)
+    H, b = B.accumulate_top(ba, pre, lin, resApprox=resZ)
+    sc = B.accumulate_schur(
+        ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
+        prior_fac=settings.idepth_fix_prior_marg_fac)
+    H_sc, b_sc = B.schur_Hb(sc)
+    He, be = IM.expand_vision_Hb(H - H_sc, b - b_sc, ba.F)
+    HM = imu.HM + settings.marg_weight_fac * He
+    HM = 0.5 * (HM + HM.T)
+    bM = imu.bM + settings.marg_weight_fac * be
+    imu = imu._replace(HM=HM, bM=bM)
+    ba = ba._replace(pt_valid=ba.pt_valid & ~marg,
+                     res_exist=ba.res_exist & ~marg[:, None])
+    return ba, imu
+
+
 def _mask_lin(lin: B.LinData, pmask: jnp.ndarray) -> B.LinData:
     """Restrict a linearization to a subset of points."""
     f = pmask.astype(jnp.float32)

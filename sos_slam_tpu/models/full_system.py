@@ -139,6 +139,10 @@ class FullSystem:
         self.shells: List[FrameShell] = []
         self.kf_shell_ids: List[int] = []
         self.host_out = np.zeros(F, np.int64)  # per-slot dead-point counts
+        # per-slot caches of marginalized points ([u, v, idepth] rows) — the
+        # analog of pointHessiansMarginalized, used by the loop closure
+        self._marg_pts_cache: List[list] = [[] for _ in range(F)]
+        self._last_dso_error = 1e6
 
         # stereo scale optimization state (FullSystem.cpp:1117-1180)
         self.stereo = stereo
@@ -148,6 +152,12 @@ class FullSystem:
         self.scale_opt_fails = 0
         self.current_scale = 1.0   # global map->metric scale (HCalib.scale)
         self._pending_right = None
+
+        # spline VIO state (models/imu.py)
+        from sos_slam_tpu.models import imu as IM
+        self.imu = IM.empty_imu(F) if settings.enable_imu else None
+        self.imu_initialized = False
+        self.imu_queue: List = []   # (t, acc(3,), gyro(3,)) since last KF
         self.key = jax.random.PRNGKey(3141592)
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
@@ -157,8 +167,18 @@ class FullSystem:
     # ------------------------------------------------------------------
     def add_active_frame(self, image: jnp.ndarray, timestamp: float,
                          frame_id: int, exposure: float = 1.0,
-                         image_right: Optional[jnp.ndarray] = None):
+                         image_right: Optional[jnp.ndarray] = None,
+                         imu_samples=None):
+        """imu_samples: iterable of (t, acc(3,), gyro(3,)) since last frame."""
         if self.is_lost:
+            return
+        if self.settings.enable_imu and imu_samples is not None:
+            self.imu_queue.extend(imu_samples)
+        if self.settings.enable_imu and not self.initialized \
+                and self.initializer is None \
+                and len(self.imu_queue) < self.settings.min_g_imu:
+            # wait for enough accel samples to estimate gravity
+            # (FullSystem.cpp:626-631)
             return
         pyr, absgrads = build_pyramid(jnp.asarray(image, jnp.float32),
                                       self.n_levels)
@@ -210,10 +230,29 @@ class FullSystem:
         init_scale = float(jnp.sum(jnp.where(good, lv0.iR, 0.0))
                            / jnp.maximum(jnp.sum(good), 1))
 
-        # first KF enters the window at identity with the big pose prior
+        # first KF pose: identity, or gravity-aligned when IMU is enabled
+        # (FullSystem.cpp:1012-1043)
+        T0 = np.eye(4, dtype=np.float32)
+        if self.settings.enable_imu and len(self.imu_queue) >= 1:
+            n_g = min(self.settings.min_g_imu, len(self.imu_queue))
+            g_imu = np.mean([np.asarray(s[1]) for s in self.imu_queue[:n_g]],
+                            axis=0)
+            g_imu = g_imu / max(np.linalg.norm(g_imu), 1e-9)
+            g_w = np.asarray(self.settings.gravity)
+            g_w = g_w / max(np.linalg.norm(g_w), 1e-9)
+            v = np.cross(g_imu, g_w)
+            s_t, c_t = np.linalg.norm(v), float(g_imu @ g_w)
+            axis = v / max(s_t, 1e-9)
+            K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                          [-axis[1], axis[0], 0]])
+            rot_w_i0 = c_t * np.eye(3) + (1 - c_t) * np.outer(axis, axis) \
+                + s_t * K
+            ric = np.asarray(self.settings.rot_imu_cam).reshape(3, 3)
+            T0[:3, :3] = (rot_w_i0 @ ric).astype(np.float32)
+
         first_shell = self.init_first_shell
         prior0 = self._prior_row(first=True)
-        self.ba = WIN.insert_frame(self.ba, jnp.eye(4), jnp.zeros(2),
+        self.ba = WIN.insert_frame(self.ba, jnp.asarray(T0), jnp.zeros(2),
                                    jnp.asarray(1.0), prior0)
         self.dI = self.dI.at[0].set(self.init_first_pyr[0])
         self.frame_pyramids[0] = self.init_first_pyr
@@ -253,8 +292,8 @@ class FullSystem:
         T_fn = np.array(st.T)  # first -> new (copy: jax arrays are read-only)
         T_fn[:3, 3] *= init_scale
         T_nf = np.linalg.inv(T_fn)
-        first_shell.cam_to_world = np.eye(4)
-        shell.cam_to_world = T_nf
+        first_shell.cam_to_world = T0.astype(np.float64)
+        shell.cam_to_world = T0 @ T_nf
         shell.tracking_ref = first_shell.id
 
         self.initialized = True
@@ -462,19 +501,39 @@ class FullSystem:
         shell.is_kf = True
         self.stats["n_kf"] += 1
 
+        # IMU data intake + spline propagation for the new KF
+        if s.enable_imu:
+            self._set_imu_data(slot, shell)
+            if self.imu_initialized:
+                self._propagate_imu(slot, shell)
+
         # activate points
         self._activate_points()
 
-        # windowed BA
+        # IMU initialization at the 5th keyframe (FullSystem.cpp:841-848)
         n_kf = len(self.kf_shell_ids)
+        if s.enable_imu and n_kf == 5 and not self.imu_initialized:
+            from sos_slam_tpu.models import imu as IM
+            self.imu, ok = IM.initialize_imu(self.ba, self.imu, s)
+            if not bool(ok):
+                self.init_failed = True
+                return
+            self.imu_initialized = True
+
+        # windowed BA
         max_its = s.max_opt_iterations
         if n_kf < 3:
             max_its = 20
         elif n_kf < 4:
             max_its = 15
-        self.ba, stats = E.optimize(self.ba, self.dI, s, self.w, self.h,
-                                    max_its=max_its,
-                                    min_its=s.min_opt_iterations)
+        if s.enable_imu and self.imu_initialized:
+            self.ba, self.imu, stats = E.optimize_vio(
+                self.ba, self.imu, self.dI, s, self.w, self.h,
+                max_its=max_its, min_its=s.min_opt_iterations)
+        else:
+            self.ba, stats = E.optimize(self.ba, self.dI, s, self.w, self.h,
+                                        max_its=max_its,
+                                        min_its=s.min_opt_iterations)
         rmse = float(stats["rmse"])
         if bool(stats["is_lost"]):
             self.is_lost = True
@@ -508,6 +567,22 @@ class FullSystem:
         # stereo scale optimization (optimizeScale, FullSystem.cpp:1117-1180)
         if self.settings.enable_scale_opt:
             self._optimize_scale(shell)
+
+        # IMU post-BA bookkeeping: scale trapping + FEJ reset at init KF
+        if s.enable_imu and self.imu_initialized:
+            from sos_slam_tpu.models import imu as IM
+            if n_kf == 5:
+                self.imu = self.imu._replace(state_zero=self.imu.state)
+            if s.enable_scale_opt:
+                self.imu = self.imu._replace(
+                    scale=jnp.float32(self.current_scale / IM.SCALE_SCALE),
+                    scale_trapped=jnp.array(True))
+            elif not bool(self.imu.scale_trapped):
+                self.imu = IM.try_trap_scale(self.imu, s.scale_trap_thres)
+                if bool(self.imu.scale_trapped):
+                    self.imu = self.imu._replace(state_zero=self.imu.state)
+            self.current_scale = float(self.imu.scale) * IM.SCALE_SCALE \
+                if not s.enable_scale_opt else self.current_scale
         self._update_scaled_poses()
 
         # flag points for removal / marginalization
@@ -522,6 +597,48 @@ class FullSystem:
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
 
     # ------------------------------------------------------------------
+    def _set_imu_data(self, slot: int, shell):
+        """Fill the new KF's padded IMU-sample arrays from the host queue
+        (FrameHessian::setImuData) and clear the queue."""
+        from sos_slam_tpu.models import imu as IM
+        samples = [s for s in self.imu_queue if s[0] <= shell.timestamp]
+        self.imu_queue = [s for s in self.imu_queue if s[0] > shell.timestamp]
+        samples = samples[-IM.N_IMU:]
+        n = len(samples)
+        acc = np.zeros((IM.N_IMU, 3), np.float32)
+        gyro = np.zeros((IM.N_IMU, 3), np.float32)
+        ts = np.zeros(IM.N_IMU, np.float32)
+        for i, (t, a, g) in enumerate(samples):
+            acc[i] = a
+            gyro[i] = g
+            ts[i] = t - shell.timestamp
+        valid = np.arange(IM.N_IMU) < n
+        self.imu = self.imu._replace(
+            acc=self.imu.acc.at[slot].set(acc),
+            gyro=self.imu.gyro.at[slot].set(gyro),
+            ts=self.imu.ts.at[slot].set(ts),
+            imu_valid=self.imu.imu_valid.at[slot].set(valid),
+            timestamps=self.imu.timestamps.at[slot].set(shell.timestamp),
+        )
+        # spline validity: consecutive KFs close enough in time
+        if slot > 0:
+            dt = shell.timestamp - float(self.imu.timestamps[slot - 1])
+            sv = (n > 3) and dt < self.settings.max_imu_interval
+            self.imu = self.imu._replace(
+                spline_valid=self.imu.spline_valid.at[slot].set(sv))
+
+    def _propagate_imu(self, slot: int, shell):
+        """propagateImuState for the incoming KF (HessianBlocks.cpp:357-404)."""
+        from sos_slam_tpu.models import imu as IM
+        prev = slot - 1
+        last_bias = (self.imu.state[prev] * IM.IMU_SCALE21)[:6]
+        last_R = jnp.asarray(
+            self.shells[self.frame_shell_idx[prev]].cam_to_world[:3, :3],
+            jnp.float32)
+        self.imu = IM.propagate_imu_state(
+            self.imu, slot, jnp.float32(self.imu.timestamps[prev]),
+            self.imu.vel[prev], last_R, last_bias, self.settings)
+
     def _optimize_scale(self, shell):
         """Per-KF stereo 1-DoF scale solve with trapping / fail counting
         (FullSystem::optimizeScale)."""
@@ -740,7 +857,21 @@ class FullSystem:
             (marg | drop).astype(jnp.int32), ba.host, self.F))
         self.host_out += died
 
-        self.ba = E.marginalize_points(ba, self.dI, marg, s, self.w, self.h)
+        # cache marginalized points per host for the loop-closure export
+        marg_np = np.asarray(marg)
+        if marg_np.any():
+            hosts = np.asarray(ba.host)[marg_np]
+            us = np.asarray(ba.u)[marg_np]
+            vs = np.asarray(ba.v)[marg_np]
+            ids = np.asarray(ba.idepth)[marg_np]
+            for hh, uu, vv, ii in zip(hosts, us, vs, ids):
+                self._marg_pts_cache[int(hh)].append((uu, vv, ii))
+
+        if s.enable_imu and self.imu_initialized:
+            self.ba, self.imu = E.marginalize_points_vio(
+                ba, self.imu, self.dI, marg, s, self.w, self.h)
+        else:
+            self.ba = E.marginalize_points(ba, self.dI, marg, s, self.w, self.h)
         self.ba = E.drop_points(self.ba, drop)
 
     def _make_new_traces(self, pyr, slot):
@@ -798,7 +929,11 @@ class FullSystem:
             sh_idx = self.frame_shell_idx[k]
             self.shells[sh_idx].marginalized_at = len(self.shells)
             kf_record = self._export_kf(k)
-            self.ba = E.marginalize_frame(self.ba, jnp.int32(k))
+            if self.settings.enable_imu and self.imu_initialized:
+                self.ba, self.imu = E.marginalize_frame_vio(
+                    self.ba, self.imu, jnp.int32(k), self.settings)
+            else:
+                self.ba = E.marginalize_frame(self.ba, jnp.int32(k))
             # shift host-side bookkeeping
             self.dI = jnp.concatenate(
                 [self.dI[:k], self.dI[k + 1:], jnp.zeros_like(self.dI[:1])], 0)
@@ -807,6 +942,8 @@ class FullSystem:
             del self.frame_shell_idx[k]
             self.host_out[k:-1] = self.host_out[k + 1:]
             self.host_out[-1] = 0
+            del self._marg_pts_cache[k]
+            self._marg_pts_cache.append([])
             if self.ref_slot > k:
                 self.ref_slot -= 1
             for cb in self.marg_callbacks:
@@ -814,9 +951,40 @@ class FullSystem:
 
     def _export_kf(self, k: int):
         """Final-KF record for loop closure / output (publishKeyframes
-        final=true)."""
+        final=true, LoopHandler.cpp:142-220): metric-rescaled [u, v, idepth]
+        points, per-level intensities, dso_error / scale_error."""
         sh = self.shells[self.frame_shell_idx[k]]
-        return dict(shell=sh, slot=k)
+
+        # dso_error: energy of residuals targeting the dying frame / count^2
+        # (FullSystemMarginalize.cpp:151-187)
+        e_col, n_col = _frame_residual_energy(
+            self.ba, self.dI, jnp.int32(k), self.settings, self.w, self.h)
+        n_col = float(n_col)
+        if n_col > 0:
+            dso_error = float(e_col) / n_col / n_col
+            self._last_dso_error = dso_error
+        else:
+            dso_error = 10.0 * self._last_dso_error
+
+        pts = np.array(self._marg_pts_cache[k], np.float32).reshape(-1, 3)
+        scale = max(sh.scale, 1e-9)
+        pyramid = self.frame_pyramids[k]
+        if len(pts) and pyramid is not None:
+            pts_uvdi = pts.copy()
+            pts_uvdi[:, 2] = pts[:, 2] / scale    # idepth -> metric
+            inten = np.zeros((len(pts), self.n_levels), np.float32)
+            for lvl in range(self.n_levels):
+                u = (pts[:, 0] + 0.5) / (1 << lvl) - 0.5
+                v = (pts[:, 1] + 0.5) / (1 << lvl) - 0.5
+                inten[:, lvl] = np.asarray(interp_bilinear(
+                    pyramid[lvl][..., 0], jnp.asarray(u), jnp.asarray(v)))
+        else:
+            pts_uvdi = np.zeros((0, 3), np.float32)
+            inten = np.zeros((0, self.n_levels), np.float32)
+
+        return dict(shell=sh, slot=k, pts_uvdi=pts_uvdi, intensities=inten,
+                    pyramid=pyramid, dso_error=dso_error,
+                    scale_error=sh.scale_error)
 
     # ------------------------------------------------------------------
     def trajectory(self, scaled: bool = False) -> np.ndarray:
@@ -832,6 +1000,20 @@ class FullSystem:
                 t = T[:3, 3]
                 rows.append([sh.id, t[0], t[1], t[2]])
         return np.array(rows)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _frame_residual_energy(ba, dI, k, settings, w, h):
+    """Sum + count of live residual energies targeting frame slot k
+    (the dso_error ingredient, FullSystemMarginalize.cpp:151-187)."""
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+    col = ba.res_exist[:, k] & ba.pt_valid & (lin.new_state[:, k] == B.RES_IN)
+    e = jnp.sum(jnp.where(col, lin.energy[:, k], 0.0))
+    return e, jnp.sum(col)
 
 
 @jax.jit

@@ -66,9 +66,13 @@ class ImuState(NamedTuple):
     scale_trapped: jnp.ndarray  # bool
     scale_queue: jnp.ndarray    # (10,)
     queue_i: jnp.ndarray        # int32
+    # VIO-mode marginalization prior at full (5+29F) dim
+    HM: jnp.ndarray
+    bM: jnp.ndarray
 
 
 def empty_imu(F: int, scale_scaled: float = 1.0) -> ImuState:
+    D = vio_dim(F)
     return ImuState(
         state=jnp.zeros((F, 21)), state_zero=jnp.zeros((F, 21)),
         vel=jnp.zeros((F, 3)),
@@ -80,6 +84,7 @@ def empty_imu(F: int, scale_scaled: float = 1.0) -> ImuState:
         scale_zero=jnp.float32(scale_scaled / SCALE_SCALE),
         scale_trapped=jnp.array(False),
         scale_queue=jnp.zeros(10), queue_i=jnp.int32(0),
+        HM=jnp.zeros((D, D)), bM=jnp.zeros(D),
     )
 
 
