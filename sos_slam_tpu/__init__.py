@@ -19,4 +19,26 @@ Reference behavior parity is cited per-module as `/root/reference/<file>:<line>`
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# SLAM geometry is precision-critical: TPU's default bf16 matmul loses ~1e-2
+# relative accuracy on pose compositions and Hessian products (observed:
+# so3_exp orthogonality error 0.017 under bf16). Hot image ops are gathers /
+# elementwise and unaffected; the small-matrix products this raises to f32
+# are negligible FLOPs. Kernels that need it also pass explicit
+# precision=HIGHEST.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the tracker/BA programs are large (minutes of
+# XLA compile on the remote-compile TPU path); cache them across processes.
+try:
+    import os as _os
+    _cache = _os.environ.get("SOS_SLAM_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/sos_slam_jax"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # cache is best-effort
+    pass
+
 from sos_slam_tpu.utils.config import Settings, default_settings  # noqa: F401
