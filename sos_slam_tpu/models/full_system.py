@@ -453,28 +453,17 @@ class FullSystem:
 
     def _host_to_new_transforms(self, T_cw_new):
         """Per-host-slot KRKi/Kt/aff into an (external) new frame."""
-        T_cw = B.state_to_pose(self.ba.T_cw_eval, self.ba.state)
-        T_wc_new = lie.se3_inv(jnp.asarray(T_cw_new, jnp.float32))
-        rel = jnp.einsum("ij,fjk->fik", T_wc_new, T_cw)
-        fx, fy, cx, cy = B.calib_real(self.ba)
-        K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-        Ki = jnp.linalg.inv(K)
-        KRKi = jnp.einsum("ij,fjk,kl->fil", K, rel[:, :3, :3], Ki)
-        Kt = jnp.einsum("ij,fj->fi", K, rel[:, :3, 3])
-        return KRKi, Kt, rel
+        return _host_to_new_transforms_jit(
+            self.ba, jnp.asarray(T_cw_new, jnp.float32))
 
     def _trace_new_coarse(self, pyr, shell, exposure):
         """Trace all immature points onto this (non-key)frame
         (traceNewCoarse, FullSystem.cpp:311-361)."""
-        KRKi, Kt, _ = self._host_to_new_transforms(shell.cam_to_world)
-        aff_cur = B.aff_real(self.ba.state)
-        aff_new = jnp.asarray(shell.aff, jnp.float32)
-        affs = TK.aff_from_to(
-            self.ba.exposure, jnp.asarray(exposure),
-            aff_cur.T, jnp.broadcast_to(aff_new[:, None], (2, self.F)),
-        ).T  # (F,2)
-        self.imm = TR.trace_points(self.imm, pyr[0], KRKi, Kt, affs,
-                                   self.w, self.h, self.settings)
+        self.imm = _trace_jit(
+            self.ba, self.imm, pyr[0],
+            jnp.asarray(shell.cam_to_world, jnp.float32),
+            jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
+            self.w, self.h, self.settings)
 
     def _make_keyframe(self, pyr, shell, exposure):
         import time as _time
@@ -754,67 +743,13 @@ class FullSystem:
         self.current_min_act_dist = float(
             np.clip(self.current_min_act_dist + delta, 0.0, 4.0))
 
-        newest = int(jnp.sum(self.ba.frame_valid)) - 1
         imm = self.imm
-
-        # candidate gate (canActivate)
-        can = (
-            imm.valid
-            & ((imm.status == TR.IPS_GOOD) | (imm.status == TR.IPS_SKIPPED)
-               | (imm.status == TR.IPS_BADCONDITION) | (imm.status == TR.IPS_OOB))
-            & (imm.quality > s.min_trace_quality)
-            & ((imm.idepth_max + imm.idepth_min) > 0)
-            & jnp.isfinite(imm.idepth_max)
-        )
-        # delete never-traced/outlier points
-        kill = imm.valid & (~jnp.isfinite(imm.idepth_max)
-                            | (imm.status == TR.IPS_OUTLIER))
-        # project candidates into newest frame (level-1 coords like reference)
-        pre = B.make_precalc(self.ba)
-        Rn = pre.R[imm.host, newest]
-        tn = pre.t[imm.host, newest]
-        fx, fy, cx, cy = B.calib_real(self.ba)
-        KliP = jnp.stack([(imm.u - cx) / fx, (imm.v - cy) / fy,
-                          jnp.ones_like(imm.u)], -1)
-        mid_id = 0.5 * (imm.idepth_min + jnp.where(
-            jnp.isfinite(imm.idepth_max), imm.idepth_max, imm.idepth_min))
-        ptp = jnp.einsum("nij,nj->ni", Rn, KliP) + tn * mid_id[:, None]
-        pu = (ptp[:, 0] / ptp[:, 2] * fx + cx) * 0.5   # level-1
-        pv = (ptp[:, 1] / ptp[:, 2] * fy + cy) * 0.5
-        inb = (pu > 0) & (pv > 0) & (pu < self.w // 2) & (pv < self.h // 2)
-        kill |= imm.valid & can & ~inb
-        can &= inb
-
-        # distance to nearest existing map point projected into the newest
-        # frame (replaces CoarseDistanceMap's BFS with exact brute force)
-        Rm = pre.R[self.ba.host, newest]
-        tm = pre.t[self.ba.host, newest]
-        KliPm = jnp.stack([(self.ba.u - cx) / fx, (self.ba.v - cy) / fy,
-                           jnp.ones_like(self.ba.u)], -1)
-        ptm = jnp.einsum("nij,nj->ni", Rm, KliPm) + tm * self.ba.idepth[:, None]
-        mu = (ptm[:, 0] / ptm[:, 2] * fx + cx) * 0.5
-        mv = (ptm[:, 1] / ptm[:, 2] * fy + cy) * 0.5
-        m_ok = self.ba.pt_valid & (ptm[:, 2] > 0)
-        dist = _min_dist(pu, pv, mu, mv, m_ok)
-        want = can & (dist >= self.current_min_act_dist * imm.my_type)
-
-        # batched activation GN
-        affLL = pre.affLL
-        idepth, ok, res_in = TR.activate_points(
-            imm, want, self.dI, pre.R, pre.t, affLL, self.ba.frame_valid,
-            (float(fx), float(fy), float(cx), float(cy)),
-            self.w, self.h, self.settings,
-        )
-        ok = ok & want
-
-        slot, accepted = WIN.scatter_into_free_slots(self.ba.pt_valid, ok)
-        self.ba = WIN.insert_points(
-            self.ba, slot, accepted, host=imm.host, u=imm.u, v=imm.v,
-            color=imm.color, weight=imm.weights, idepth=idepth,
-            prior_w=jnp.zeros_like(idepth),
-        )
-        # activated or killed immature points leave the pool
-        self.imm = imm._replace(valid=imm.valid & ~ok & ~kill)
+        want, kill, idepth, ok, res_in = _activation_jit(
+            self.ba, imm, self.dI,
+            jnp.float32(self.current_min_act_dist),
+            self.w, self.h, self.settings)
+        self.ba, self.imm = _insert_activated_jit(self.ba, imm, ok, kill,
+                                                  idepth)
 
     def _flag_and_marginalize_points(self, frame_marg_flags):
         """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
@@ -1003,6 +938,102 @@ class FullSystem:
 
 
 import functools
+
+
+@jax.jit
+def _host_to_new_transforms_jit(ba, T_cw_new):
+    """Per-host-slot KRKi/Kt into an external new frame (one fused call)."""
+    T_cw = B.state_to_pose(ba.T_cw_eval, ba.state)
+    T_wc_new = lie.se3_inv(T_cw_new)
+    rel = jnp.einsum("ij,fjk->fik", T_wc_new, T_cw)
+    fx, fy, cx, cy = B.calib_real(ba)
+    K = jnp.stack([
+        jnp.stack([fx, 0.0 * fx, cx]),
+        jnp.stack([0.0 * fx, fy, cy]),
+        jnp.stack([0.0 * fx, 0.0 * fx, 1.0 + 0.0 * fx]),
+    ])
+    Ki = jnp.linalg.inv(K)
+    KRKi = jnp.einsum("ij,fjk,kl->fil", K, rel[:, :3, :3], Ki)
+    Kt = jnp.einsum("ij,fj->fi", K, rel[:, :3, 3])
+    return KRKi, Kt, rel
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "settings"))
+def _trace_jit(ba, imm, dI0_new, T_cw_new, aff_new, exposure_new, w, h,
+               settings):
+    """Fused per-frame trace: transforms + affine + trace_points in ONE
+    device call (the per-frame host-device chatter killer)."""
+    KRKi, Kt, _ = _host_to_new_transforms_jit(ba, T_cw_new)
+    aff_cur = B.aff_real(ba.state)
+    affs = TK.aff_from_to(
+        ba.exposure, exposure_new,
+        aff_cur.T, jnp.broadcast_to(aff_new[:, None], (2, ba.F)),
+    ).T
+    return TR.trace_points(imm, dI0_new, KRKi, Kt, affs, w, h, settings)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "settings"))
+def _activation_jit(ba, imm, dI, min_act_dist, w, h, settings):
+    """Fused candidate gating + distance gating + batched activation GN
+    (activatePointsMT, FullSystem.cpp:375-531) in one device call."""
+    s = settings
+    newest = jnp.sum(ba.frame_valid) - 1
+    can = (
+        imm.valid
+        & ((imm.status == TR.IPS_GOOD) | (imm.status == TR.IPS_SKIPPED)
+           | (imm.status == TR.IPS_BADCONDITION) | (imm.status == TR.IPS_OOB))
+        & (imm.quality > s.min_trace_quality)
+        & ((imm.idepth_max + imm.idepth_min) > 0)
+        & jnp.isfinite(imm.idepth_max)
+    )
+    kill = imm.valid & (~jnp.isfinite(imm.idepth_max)
+                        | (imm.status == TR.IPS_OUTLIER))
+    pre = B.make_precalc(ba)
+    Rn = pre.R[imm.host, newest]
+    tn = pre.t[imm.host, newest]
+    fx, fy, cx, cy = B.calib_real(ba)
+    KliP = jnp.stack([(imm.u - cx) / fx, (imm.v - cy) / fy,
+                      jnp.ones_like(imm.u)], -1)
+    mid_id = 0.5 * (imm.idepth_min + jnp.where(
+        jnp.isfinite(imm.idepth_max), imm.idepth_max, imm.idepth_min))
+    ptp = jnp.einsum("nij,nj->ni", Rn, KliP) + tn * mid_id[:, None]
+    pu = (ptp[:, 0] / ptp[:, 2] * fx + cx) * 0.5   # level-1 coords
+    pv = (ptp[:, 1] / ptp[:, 2] * fy + cy) * 0.5
+    inb = (pu > 0) & (pv > 0) & (pu < w // 2) & (pv < h // 2)
+    kill |= imm.valid & can & ~inb
+    can &= inb
+
+    # exact brute-force distance map (replaces CoarseDistanceMap's BFS)
+    Rm = pre.R[ba.host, newest]
+    tm = pre.t[ba.host, newest]
+    KliPm = jnp.stack([(ba.u - cx) / fx, (ba.v - cy) / fy,
+                       jnp.ones_like(ba.u)], -1)
+    ptm = jnp.einsum("nij,nj->ni", Rm, KliPm) + tm * ba.idepth[:, None]
+    mu = (ptm[:, 0] / ptm[:, 2] * fx + cx) * 0.5
+    mv = (ptm[:, 1] / ptm[:, 2] * fy + cy) * 0.5
+    m_ok = ba.pt_valid & (ptm[:, 2] > 0)
+    dist = _min_dist(pu, pv, mu, mv, m_ok)
+    want = can & (dist >= min_act_dist * imm.my_type)
+
+    idepth, ok, res_in = TR.activate_points(
+        imm, want, dI, pre.R, pre.t, pre.affLL, ba.frame_valid,
+        (fx, fy, cx, cy), w, h, settings,
+    )
+    return want, kill, idepth, ok & want, res_in
+
+
+@jax.jit
+def _insert_activated_jit(ba, imm, ok, kill, idepth):
+    """Scatter newly-activated points into the window and retire the
+    consumed/killed immature slots — one device call."""
+    slot, accepted = WIN.scatter_into_free_slots(ba.pt_valid, ok)
+    ba = WIN.insert_points(
+        ba, slot, accepted, host=imm.host, u=imm.u, v=imm.v,
+        color=imm.color, weight=imm.weights, idepth=idepth,
+        prior_w=jnp.zeros_like(idepth),
+    )
+    imm = imm._replace(valid=imm.valid & ~ok & ~kill)
+    return ba, imm
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h"))

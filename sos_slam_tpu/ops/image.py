@@ -20,6 +20,7 @@ All functions are jit-friendly; shapes are static per calibration.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -48,6 +49,7 @@ def image_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return dx, dy
 
 
+@functools.partial(jax.jit, static_argnames=("n_levels",))
 def build_pyramid(
     image: jnp.ndarray,
     n_levels: int,
