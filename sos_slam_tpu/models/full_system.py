@@ -161,6 +161,8 @@ class FullSystem:
         self.key = jax.random.PRNGKey(3141592)
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
+        from sos_slam_tpu.utils.telemetry import Telemetry
+        self.telemetry = Telemetry()
 
     # ------------------------------------------------------------------
     # public API (reference FullSystem::addActiveFrame, FullSystem.cpp:616)
@@ -197,11 +199,13 @@ class FullSystem:
             self._initializer_step(pyr, absgrads, shell, exposure)
             return
 
-        tres = self._track_new_coarse(pyr, shell, exposure)
+        with self.telemetry.timed("track"):
+            tres = self._track_new_coarse(pyr, shell, exposure)
         if tres is None:
             self.is_lost = True
             return
         need_kf = self._keyframe_decision(tres, shell)
+        self.telemetry.count("keyframes" if need_kf else "frames")
         self._deliver_tracked_frame(pyr, shell, exposure, need_kf)
 
     # ------------------------------------------------------------------
@@ -335,6 +339,11 @@ class FullSystem:
                 half = np.asarray(
                     lie.se3_inv(lie.se3_exp(jnp.asarray(half_xi)))) @ lastF_2_sl
                 hyps = [const, dbl, half, lastF_2_sl, np.eye(4)]
+                # IMU-predicted hypothesis first (FullSystem.cpp:163-173):
+                # gyro-integrated rotation + constant-velocity translation
+                imu_hyp = self._imu_hypothesis(T_ref, T_sl, const)
+                if imu_hyp is not None:
+                    hyps.insert(0, imu_hyp)
             else:
                 hyps = [np.eye(4)]
         else:
@@ -356,6 +365,35 @@ class FullSystem:
                 Tp[:3, :3] = Rm
                 perturbed.append(base @ Tp)
         return hyps, perturbed
+
+    def _imu_hypothesis(self, T_ref, T_slast, const_hyp):
+        """Gyro-integrated rotation prediction for the tracker init."""
+        if not (self.settings.enable_imu and self.imu_initialized
+                and len(self.shells) >= 2):
+            return None
+        from sos_slam_tpu.models import imu as IM
+        t0 = self.shells[-2].timestamp
+        t1 = self.shells[-1].timestamp
+        samples = [s for s in self.imu_queue if t0 < s[0] <= t1]
+        if len(samples) < 2:
+            return None
+        newest = int(jnp.sum(self.ba.frame_valid)) - 1
+        bg = np.asarray(self.imu.state[newest] * np.asarray(IM.IMU_SCALE21)
+                        )[3:6]
+        ric = np.asarray(self.settings.rot_imu_cam).reshape(3, 3)
+        R = T_slast[:3, :3].copy()
+        t_prev = t0
+        for (t, _, g) in samples:
+            dt = max(t - t_prev, 0.0)
+            w_cam = ric.T @ (np.asarray(g) - bg)
+            R = R @ np.asarray(lie.so3_exp(jnp.asarray(w_cam * dt,
+                                                       jnp.float32)))
+            t_prev = t
+        # translation from the constant-motion hypothesis
+        T_pred = T_ref @ np.linalg.inv(const_hyp)   # world pose of new frame
+        T_pred = T_pred.copy()
+        T_pred[:3, :3] = R
+        return np.linalg.inv(T_pred) @ T_ref
 
     def _track_new_coarse(self, pyr, shell, exposure):
         """Multi-hypothesis coarse tracking (trackNewCoarse,
