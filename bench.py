@@ -28,8 +28,10 @@ def main():
     from sos_slam_tpu.utils.config import default_settings
 
     W, H = 640, 480
-    N_FRAMES = 36
-    WARMUP = 12
+    N_FRAMES = 48
+    # warmup must cover the first frame marginalization (window fill) so all
+    # program variants are compiled before the timed window starts
+    WARMUP = 26
 
     calib = synthetic.default_calib(W, H)
     twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])

@@ -33,8 +33,12 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # XLA compile on the remote-compile TPU path); cache them across processes.
 try:
     import os as _os
-    _cache = _os.environ.get("SOS_SLAM_JAX_CACHE",
-                             _os.path.expanduser("~/.cache/sos_slam_jax"))
+    # key by platform: a cache entry AOT-compiled under the TPU tunnel loads
+    # with mismatched machine features on the CPU backend (SIGILL risk)
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    _cache = _os.environ.get(
+        "SOS_SLAM_JAX_CACHE",
+        _os.path.expanduser(f"~/.cache/sos_slam_jax/{_plat}"))
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

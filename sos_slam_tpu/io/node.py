@@ -53,6 +53,9 @@ class SlamNode:
 
         intr = tuple(self.calib.intrinsics(l) for l in range(self.calib.levels))
         self.loop = LoopHandler(settings, intr, self.calib.levels)
+        from sos_slam_tpu.io.output_wrapper import PoseRecorder
+        self.pose_recorder = PoseRecorder()
+        self.extra_wrappers = []
         self.prev_kf_size = 0
         self.cur_pose = np.eye(4)
         self._new_system()
@@ -61,6 +64,8 @@ class SlamNode:
     def _new_system(self):
         self.fs = FullSystem(self.calib, self.settings, stereo=self.stereo)
         self.fs.marg_callbacks.append(self._on_marginalized_kf)
+        self.fs.output_wrappers.append(self.pose_recorder)
+        self.fs.output_wrappers.extend(self.extra_wrappers)
         self._restarted = self.prev_kf_size > 0
 
     def _on_marginalized_kf(self, rec):

@@ -100,7 +100,13 @@ class LoopHandler:
         frame["pts_cam"] = pts_cam
 
         t0 = _time.time()
-        pts_sc, T_sc_rig = self.accum.process(frame["kf_id"], T_wc, pts_cam)
+        if self.settings.loop_cam_mode == "downward":
+            pts_sc, T_sc_rig = SC.process_scan_downward(
+                T_wc, pts_cam, self.settings.loop_lidar_range,
+                self.settings.enable_imu)
+        else:
+            pts_sc, T_sc_rig = self.accum.process(frame["kf_id"], T_wc,
+                                                  pts_cam)
         frame["pts_sc"] = pts_sc
         frame["T_sc_rig"] = T_sc_rig
         sig, ringkey, usable = SC.generate(

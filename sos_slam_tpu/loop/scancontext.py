@@ -123,6 +123,40 @@ class ScanAccumulator:
         return pts_scan, T_sc_rig
 
 
+def process_scan_downward(T_wc: np.ndarray, pts_cam: np.ndarray,
+                          lidar_range: float, enable_imu: bool):
+    """Downward-camera single-frame scan alignment (process_scan_downward,
+    ScanContext.cpp:180-238): PCA/gravity NED alignment, re-center on the
+    highest point near the planar centroid, trim by range, normalize height.
+    Returns (pts_scan camera frame, T_sc_rig)."""
+    if len(pts_cam) < 8:
+        return pts_cam, np.eye(4)
+    T_ned = pca_align(pts_cam, T_wc, enable_imu)
+    p = (T_ned[:3, :3] @ pts_cam.T).T    # rotate only (center via align pt)
+
+    center = p[:, :2].mean(axis=0)
+    near = np.linalg.norm(p[:, :2] - center, axis=1) < CENTER_RANGE
+    if not near.any():
+        near = np.ones(len(p), bool)
+    align = p[near][np.argmin(p[near][:, 2])]     # highest = min z in NED
+    p[:, :2] -= align[:2]
+
+    keep = np.linalg.norm(p[:, :2], axis=1) < lidar_range
+    p = p[keep]
+    if len(p) == 0:
+        return np.zeros((0, 3)), np.eye(4)
+    mean_z = p[:, 2].mean()
+    p[:, 2] -= mean_z
+
+    T_sc_rig = np.eye(4)
+    T_sc_rig[:3, :3] = T_ned[:3, :3]
+    T_sc_rig[:3, 3] = -np.array([align[0], align[1], mean_z])
+    # back to camera frame
+    pts_scan = (np.linalg.inv(T_sc_rig)[:3, :3] @ p.T).T \
+        + np.linalg.inv(T_sc_rig)[:3, 3]
+    return pts_scan, T_sc_rig
+
+
 def generate(pts_cam: np.ndarray, T_sc_rig: np.ndarray,
              lidar_range: float) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Descriptor (generate, ScanContext.cpp:240-308).

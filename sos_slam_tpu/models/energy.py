@@ -111,11 +111,13 @@ def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     return ba, canbreak, energy
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "max_its",
-                                             "min_its"))
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
 def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
-             w: int, h: int, max_its: int, min_its: int = 1):
-    """The windowed BA (FullSystem::optimize). Returns (ba, stats dict)."""
+             w: int, h: int, max_its=6, min_its=1):
+    """The windowed BA (FullSystem::optimize). Returns (ba, stats dict).
+    max_its/min_its are traced (one compiled program for all window sizes)."""
+    max_its = jnp.asarray(max_its, jnp.int32)
+    min_its = jnp.asarray(min_its, jnp.int32)
     # resetOOB: all existing residuals restart as IN
     ba = ba._replace(
         res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state)
@@ -216,12 +218,13 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     return ba, imu, canbreak, energy
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "max_its",
-                                             "min_its"))
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
 def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
-                 w: int, h: int, max_its: int, min_its: int = 1):
+                 w: int, h: int, max_its=6, min_its=1):
     """FullSystem::optimize with IMU initialized: VIO KKT solve per step,
     velocity update and newest-frame IMU FEJ reset afterwards."""
+    max_its = jnp.asarray(max_its, jnp.int32)
+    min_its = jnp.asarray(min_its, jnp.int32)
     ba = ba._replace(
         res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state))
 

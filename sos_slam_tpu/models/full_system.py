@@ -160,6 +160,7 @@ class FullSystem:
         self.imu_queue: List = []   # (t, acc(3,), gyro(3,)) since last KF
         self.key = jax.random.PRNGKey(3141592)
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
+        self.output_wrappers = []    # Output3DWrapper publishers
         self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
         from sos_slam_tpu.utils.telemetry import Telemetry
         self.telemetry = Telemetry()
@@ -206,6 +207,8 @@ class FullSystem:
             return
         need_kf = self._keyframe_decision(tres, shell)
         self.telemetry.count("keyframes" if need_kf else "frames")
+        for ow in self.output_wrappers:
+            ow.publish_cam_pose(shell, None)
         self._deliver_tracked_frame(pyr, shell, exposure, need_kf)
 
     # ------------------------------------------------------------------
@@ -615,6 +618,18 @@ class FullSystem:
         # flag points for removal / marginalization
         self._flag_and_marginalize_points(marg_flags)
 
+        # publishers: non-final keyframe + depth visualization
+        if self.output_wrappers:
+            u_t, v_t, id_t, ok_t = (np.asarray(a) for a in self.pc_l0)
+            idmap = np.zeros((self.h, self.w), np.float32)
+            sel_ok = ok_t.astype(bool)
+            idmap[v_t[sel_ok].astype(int), u_t[sel_ok].astype(int)] = \
+                id_t[sel_ok]
+            img0 = np.asarray(pyr[0][..., 0])
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(dict(shell=shell), final=False)
+                ow.push_depth_image(img0, idmap)
+
         # new immature points on the new KF
         self._make_new_traces(pyr, slot)
 
@@ -855,34 +870,8 @@ class FullSystem:
         status, n_sel, _ = selector.make_maps(
             pyr[0], absgrads, s, s.desired_immature_density, k, recursions=1)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
-        u, v, my_type = selector.extract_points(status, n_slots)
-        new_pts = TR.init_immature(
-            u, v, jnp.full_like(u, slot, dtype=jnp.int32), my_type, pyr[0],
-            s, n_slots)
-        # scatter into free immature slots
-        slot_idx, accepted = WIN.scatter_into_free_slots(
-            self.imm.valid, new_pts.valid)
-        im = self.imm
-        si = jnp.where(accepted, slot_idx, im.u.shape[0])
-
-        def put(arr, vals):
-            return arr.at[si].set(vals, mode="drop")
-
-        self.imm = im._replace(
-            valid=im.valid.at[si].set(True, mode="drop"),
-            host=put(im.host, new_pts.host),
-            u=put(im.u, new_pts.u), v=put(im.v, new_pts.v),
-            color=put(im.color, new_pts.color),
-            weights=put(im.weights, new_pts.weights),
-            gradH=put(im.gradH, new_pts.gradH),
-            energy_th=put(im.energy_th, new_pts.energy_th),
-            idepth_min=put(im.idepth_min, jnp.zeros_like(new_pts.u)),
-            idepth_max=put(im.idepth_max, jnp.full_like(new_pts.u, jnp.inf)),
-            status=put(im.status, jnp.full_like(new_pts.host, TR.IPS_UNINITIALIZED
-                                                ).astype(jnp.int8)),
-            quality=put(im.quality, jnp.full_like(new_pts.u, 10000.0)),
-            my_type=put(im.my_type, new_pts.my_type),
-        )
+        self.imm = _insert_new_traces_jit(
+            self.imm, pyr[0], status, jnp.int32(slot), s, n_slots)
 
     def _marginalize_frames(self, flags: List[int]):
         """Marginalize flagged window slots (highest first so indices hold)."""
@@ -921,6 +910,8 @@ class FullSystem:
                 self.ref_slot -= 1
             for cb in self.marg_callbacks:
                 cb(kf_record)
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(kf_record, final=True)
 
     def _export_kf(self, k: int):
         """Final-KF record for loop closure / output (publishKeyframes
@@ -1058,6 +1049,37 @@ def _activation_jit(ba, imm, dI, min_act_dist, w, h, settings):
         (fx, fy, cx, cy), w, h, settings,
     )
     return want, kill, idepth, ok & want, res_in
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_slots"))
+def _insert_new_traces_jit(imm, dI0, status, slot, settings, n_slots):
+    """Fused extraction + immature-point construction + pool scatter —
+    one device call per keyframe, no per-slot program variants."""
+    u, v, my_type = selector.extract_points(status, n_slots)
+    new_pts = TR.init_immature(
+        u, v, jnp.zeros_like(u, jnp.int32) + slot, my_type, dI0,
+        settings, n_slots)
+    slot_idx, accepted = WIN.scatter_into_free_slots(imm.valid, new_pts.valid)
+    si = jnp.where(accepted, slot_idx, imm.u.shape[0])
+
+    def put(arr, vals):
+        return arr.at[si].set(vals, mode="drop")
+
+    return imm._replace(
+        valid=imm.valid.at[si].set(True, mode="drop"),
+        host=put(imm.host, new_pts.host),
+        u=put(imm.u, new_pts.u), v=put(imm.v, new_pts.v),
+        color=put(imm.color, new_pts.color),
+        weights=put(imm.weights, new_pts.weights),
+        gradH=put(imm.gradH, new_pts.gradH),
+        energy_th=put(imm.energy_th, new_pts.energy_th),
+        idepth_min=put(imm.idepth_min, jnp.zeros_like(new_pts.u)),
+        idepth_max=put(imm.idepth_max, jnp.full_like(new_pts.u, jnp.inf)),
+        status=put(imm.status, jnp.full_like(
+            new_pts.host, TR.IPS_UNINITIALIZED).astype(jnp.int8)),
+        quality=put(imm.quality, jnp.full_like(new_pts.u, 10000.0)),
+        my_type=put(imm.my_type, new_pts.my_type),
+    )
 
 
 @jax.jit

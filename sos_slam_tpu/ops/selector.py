@@ -40,6 +40,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+@functools.partial(jax.jit, static_argnames=("cut", "add"))
 def block_thresholds(
     absgrad0: jnp.ndarray,
     cut: float,
