@@ -232,18 +232,45 @@ class LoopHandler:
         self.timing["graph"].append(_time.time() - t0)
 
     # ------------------------------------------------------------------
-    def save_poses(self, path: str):
+    def save_poses(self, path: str, fmt: str = "id_xyz"):
         """poses.txt contract: `incoming_id x y z` per KF
-        (LoopHandler::savePose, LoopHandler.cpp:62-76)."""
+        (LoopHandler::savePose, LoopHandler.cpp:62-76). fmt="tum" writes
+        `timestamp tx ty tz qx qy qz qw` for TUM evaluation tools."""
         with open(path, "w") as f:
             for fr in self.frames:
-                t = fr["T_opt"][:3, 3]
-                f.write(f"{fr['incoming_id']} {t[0]:.6f} {t[1]:.6f} "
-                        f"{t[2]:.6f}\n")
+                T = fr["T_opt"]
+                t = T[:3, 3]
+                if fmt == "tum":
+                    q = _rot_to_quat(T[:3, :3])
+                    f.write(f"{fr['shell'].timestamp:.6f} "
+                            f"{t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                            f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+                else:
+                    f.write(f"{fr['incoming_id']} {t[0]:.6f} {t[1]:.6f} "
+                            f"{t[2]:.6f}\n")
 
     def trajectory(self) -> np.ndarray:
         return np.array([[f["incoming_id"], *f["T_opt"][:3, 3]]
                          for f in self.frames])
+
+
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) from a rotation matrix."""
+    w = np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0)) / 2.0
+    if w > 1e-6:
+        return np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                         (R[0, 2] - R[2, 0]) / (4 * w),
+                         (R[1, 0] - R[0, 1]) / (4 * w)])
+    # fallback for w ~ 0
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 0.5
+    q = np.zeros(4)
+    q[1 + i] = s
+    q[0] = (R[k, j] - R[j, k]) / (4 * s)
+    q[1 + j] = (R[j, i] + R[i, j]) / (4 * s)
+    q[1 + k] = (R[k, i] + R[i, k]) / (4 * s)
+    return q
 
 
 def _pad_points(pts: np.ndarray, inten: np.ndarray):
