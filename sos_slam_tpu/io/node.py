@@ -68,6 +68,30 @@ class SlamNode:
         self.fs.output_wrappers.extend(self.extra_wrappers)
         self._restarted = self.prev_kf_size > 0
 
+    def _preprocess(self, image, und, photo):
+        """Photometric correction + remap: fused native C++ path when
+        available, Python fallback otherwise."""
+        from sos_slam_tpu import native
+        img = np.asarray(image)
+        G = None
+        vig = None
+        if photo is not None and img.ndim == 2:
+            if len(photo.G) == 256:
+                G = photo.G
+                vig = photo.vignette_inv
+            else:
+                img, _ = photo.process(img)
+        if img.ndim == 2:
+            out = native.preprocess_frame(
+                img, und.remap_x, und.remap_y, und.remap_valid,
+                G=G, vig_inv=vig)
+            if out is not None:
+                return jnp.asarray(out)
+        # pure-Python fallback
+        if photo is not None and G is not None:
+            img, _ = photo.process(img)
+        return und.undistort(jnp.asarray(img))
+
     def _on_marginalized_kf(self, rec):
         # NaN-mark the first KF after a restart (no odometry edge bridges it,
         # FullSystemMarginalize.cpp:189-194)
@@ -81,9 +105,7 @@ class SlamNode:
                 image_right: Optional[np.ndarray] = None,
                 imu_samples=None, exposure: float = 1.0):
         """imageMessageCallback + process (SlamNode.cpp:88-171)."""
-        if self.photo0 is not None:
-            image, exposure = self.photo0.process(image, exposure)
-        img_u = self.und0.undistort(jnp.asarray(image))
+        img_u = self._preprocess(image, self.und0, self.photo0)
         img_r = None
         if image_right is not None and self.und1 is not None:
             img_r = self.und1.undistort(jnp.asarray(image_right))
