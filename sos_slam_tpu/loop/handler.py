@@ -33,7 +33,8 @@ MAX_LOOP_PTS = 2048
 
 
 class LoopHandler:
-    def __init__(self, settings: Settings, intrinsics, n_levels: int):
+    def __init__(self, settings: Settings, intrinsics, n_levels: int,
+                 ringkey_margin: int = SC.LOOP_MARGIN):
         self.settings = settings
         self.intrinsics = intrinsics
         self.n_levels = n_levels
@@ -41,7 +42,7 @@ class LoopHandler:
         self.accum = SC.ScanAccumulator(settings.loop_lidar_range,
                                         settings.enable_imu) \
             if self.enable else None
-        self.ringkeys = SC.RingkeyIndex()
+        self.ringkeys = SC.RingkeyIndex(margin=ringkey_margin)
         self.frames: List[dict] = []       # one record per marginalized KF
         self.n_loop_edges = 0
         self.n_direct = 0

@@ -188,12 +188,13 @@ def generate(pts_cam: np.ndarray, T_sc_rig: np.ndarray,
 
 
 class RingkeyIndex:
-    """Brute-force kNN over stored ringkeys with the 100-frame insertion
-    margin (search_ringkey, ScanContext.cpp:310-342)."""
+    """Brute-force kNN over stored ringkeys with the insertion margin
+    (search_ringkey, ScanContext.cpp:310-342; margin = 100 KFs there)."""
 
-    def __init__(self):
+    def __init__(self, margin: int = LOOP_MARGIN):
+        self.margin = margin
         self.keys: List[np.ndarray] = []   # searchable
-        self.queue: List[np.ndarray] = []  # waiting LOOP_MARGIN frames
+        self.queue: List[np.ndarray] = []  # waiting `margin` frames
 
     def search_and_insert(self, ringkey: np.ndarray) -> List[int]:
         cands: List[int] = []
@@ -205,7 +206,7 @@ class RingkeyIndex:
                 if d[i] < RINGKEY_THRES and i > 0:
                     cands.append(int(i))
         self.queue.append(ringkey.copy())
-        if len(self.queue) > LOOP_MARGIN:
+        if len(self.queue) > self.margin:
             self.keys.append(self.queue.pop(0))
         return cands
 
