@@ -573,11 +573,8 @@ class FullSystem:
             self.init_failed = True
             return
 
-        # recompute HdiF for the template weights
-        pre = B.make_precalc(self.ba)
-        lin = B.linearize(self.ba, pre, self.dI, s, self.w, self.h)
-        sc = B.accumulate_schur(self.ba, pre, lin)
-        self.HdiF = sc.HdiF
+        # recompute HdiF for the template weights (one fused call)
+        self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
 
         # write back optimized poses to shells
         T_cw = np.asarray(B.state_to_pose(self.ba.T_cw_eval, self.ba.state))
@@ -739,11 +736,10 @@ class FullSystem:
             return []
         flags = []
         # in = active + immature points, out = cumulative deaths per host
-        pt_in = np.asarray(jax.ops.segment_sum(
-            self.ba.pt_valid.astype(jnp.int32), self.ba.host, self.F))
-        imm_in = np.asarray(jax.ops.segment_sum(
-            self.imm.valid.astype(jnp.int32), self.imm.host, self.F))
-        aff = np.asarray(B.aff_real(self.ba.state))
+        pt_in_j, imm_in_j, aff_j, T_cw_j = _frame_stats_jit(self.ba, self.imm)
+        pt_in = np.asarray(pt_in_j)
+        imm_in = np.asarray(imm_in_j)
+        aff = np.asarray(aff_j)
         exp = np.asarray(self.ba.exposure)
         for i in range(n):
             n_in = pt_in[i] + imm_in[i]
@@ -755,7 +751,7 @@ class FullSystem:
                 flags.append(i)
         if n + 1 - len(flags) >= s.max_frames:
             # drop the frame with the smallest pairwise-distance score
-            T_cw = np.asarray(B.state_to_pose(self.ba.T_cw_eval, self.ba.state))
+            T_cw = np.asarray(T_cw_j)
             best_score, best_i = 1.0, None
             for i in range(n - 1):
                 if i == 0 and len(self.kf_shell_ids) <= s.max_frames:
@@ -808,42 +804,12 @@ class FullSystem:
         """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
         s = self.settings
         ba = self.ba
-        n = int(jnp.sum(ba.frame_valid))
-        newest = n - 1
-        flagged_hosts = jnp.zeros(self.F, bool)
+        flagged_hosts = np.zeros(self.F, bool)
         for k in frame_marg_flags:
-            flagged_hosts = flagged_hosts.at[k].set(True)
-
-        n_res = jnp.sum(ba.res_exist & ba.pt_valid[:, None], -1)
-        host_flagged = flagged_hosts[ba.host]
-        # drop: no residuals or negative idepth
-        drop = ba.pt_valid & ((ba.idepth < 0) | (n_res == 0))
-        # OOB policy (PointHessian::isOOB simplified to its dominant terms):
-        # flagged host, or most residuals target flagged frames
-        vis_in_marg = jnp.sum(
-            ba.res_exist & flagged_hosts[None, :]
-            & (ba.res_state == B.RES_IN), -1)
-        oob = ba.pt_valid & (
-            host_flagged
-            | ((n_res >= s.min_good_active_res_for_marg)
-               & (n_res - vis_in_marg < s.min_good_active_res_for_marg))
-        )
-        # last-residual OOB proxy: invisible in the two newest frames
-        if n >= 3:
-            oob |= ba.pt_valid & ~ba.res_exist[:, newest] \
-                & ~ba.res_exist[:, newest - 1] & (n_res >= 2)
-        inlier = n_res >= s.min_good_active_res_for_marg
-        # idepth hessian gate
-        well = self.HdiF > 0
-        hess_ok = jnp.where(well, 1.0 / jnp.maximum(self.HdiF, 1e-12), 0.0) \
-            > s.min_idepth_h_marg
-        marg = oob & inlier & hess_ok & ~drop
-        drop = drop | (oob & ~(inlier & hess_ok))
-
-        # per-host death counts feed the frame-marginalization policy
-        died = np.asarray(jax.ops.segment_sum(
-            (marg | drop).astype(jnp.int32), ba.host, self.F))
-        self.host_out += died
+            flagged_hosts[k] = True
+        marg, drop, died = _flag_points_jit(
+            ba, self.HdiF, jnp.asarray(flagged_hosts), s)
+        self.host_out += np.asarray(died)
 
         # cache marginalized points per host for the loop-closure export
         marg_np = np.asarray(marg)
@@ -876,21 +842,13 @@ class FullSystem:
     def _marginalize_frames(self, flags: List[int]):
         """Marginalize flagged window slots (highest first so indices hold)."""
         for k in sorted(flags, reverse=True):
-            # points hosted in k should be gone; drop stragglers
-            stragglers = self.ba.pt_valid & (self.ba.host == k)
-            self.ba = E.drop_points(self.ba, stragglers)
-            # kill residuals targeting k
-            self.ba = self.ba._replace(
-                res_exist=self.ba.res_exist.at[:, k].set(False))
-            # immature points hosted in k die with it; remap others
-            self.imm = self.imm._replace(
-                valid=self.imm.valid & (self.imm.host != k),
-                host=jnp.where(self.imm.host > k, self.imm.host - 1,
-                               self.imm.host),
-            )
             sh_idx = self.frame_shell_idx[k]
             self.shells[sh_idx].marginalized_at = len(self.shells)
+            # export FIRST: dso_error needs the residuals targeting k
             kf_record = self._export_kf(k)
+            # straggler points / residual column / immature remap (one call)
+            self.ba, self.imm = _pre_marg_jit(self.ba, self.imm,
+                                              jnp.int32(k))
             if self.settings.enable_imu and self.imu_initialized:
                 self.ba, self.imu = E.marginalize_frame_vio(
                     self.ba, self.imu, jnp.int32(k), self.settings)
@@ -1094,6 +1052,76 @@ def _insert_activated_jit(ba, imm, ok, kill, idepth):
     )
     imm = imm._replace(valid=imm.valid & ~ok & ~kill)
     return ba, imm
+
+
+@jax.jit
+def _frame_stats_jit(ba, imm):
+    """Per-frame point counts + affines + current poses in one call."""
+    pt_in = jax.ops.segment_sum(ba.pt_valid.astype(jnp.int32), ba.host, ba.F)
+    imm_in = jax.ops.segment_sum(imm.valid.astype(jnp.int32), imm.host, ba.F)
+    return pt_in, imm_in, B.aff_real(ba.state), \
+        B.state_to_pose(ba.T_cw_eval, ba.state)
+
+
+@jax.jit
+def _pre_marg_jit(ba, imm, k):
+    """Straggler-point drop + residual-column kill + immature remap before a
+    frame marginalization — one device call."""
+    stragglers = ba.pt_valid & (ba.host == k)
+    ba = ba._replace(
+        pt_valid=ba.pt_valid & ~stragglers,
+        res_exist=jnp.where((jnp.arange(ba.F) == k)[None, :], False,
+                            ba.res_exist & ~stragglers[:, None]),
+    )
+    imm = imm._replace(
+        valid=imm.valid & (imm.host != k),
+        host=jnp.where(imm.host > k, imm.host - 1, imm.host),
+    )
+    return ba, imm
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _hdif_jit(ba, dI, settings, w, h):
+    """Point idepth-Hessian inverses at the current state (template weights
+    + marginalization gates) — one fused call."""
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, settings, w, h)
+    return B.accumulate_schur(ba, pre, lin).HdiF
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _flag_points_jit(ba, HdiF, flagged_hosts, settings):
+    """flagPointsForRemoval (FullSystem.cpp:533-614) as one device call.
+    Returns (marg (P,), drop (P,), died-per-host (F,))."""
+    s = settings
+    n = jnp.sum(ba.frame_valid)
+    newest = n - 1
+    n_res = jnp.sum(ba.res_exist & ba.pt_valid[:, None], -1)
+    host_flagged = flagged_hosts[ba.host]
+    drop = ba.pt_valid & ((ba.idepth < 0) | (n_res == 0))
+    vis_in_marg = jnp.sum(
+        ba.res_exist & flagged_hosts[None, :]
+        & (ba.res_state == B.RES_IN), -1)
+    oob = ba.pt_valid & (
+        host_flagged
+        | ((n_res >= s.min_good_active_res_for_marg)
+           & (n_res - vis_in_marg < s.min_good_active_res_for_marg))
+    )
+    # last-residual OOB proxy: invisible in the two newest frames
+    prev = jnp.maximum(newest - 1, 0)
+    re_new = ba.res_exist[:, jnp.maximum(newest, 0)]
+    re_prev = ba.res_exist[:, prev]
+    oob |= jnp.where(n >= 3,
+                     ba.pt_valid & ~re_new & ~re_prev & (n_res >= 2),
+                     False)
+    inlier = n_res >= s.min_good_active_res_for_marg
+    hess_ok = jnp.where(HdiF > 0, 1.0 / jnp.maximum(HdiF, 1e-12), 0.0) \
+        > s.min_idepth_h_marg
+    marg = oob & inlier & hess_ok & ~drop
+    drop = drop | (oob & ~(inlier & hess_ok))
+    died = jax.ops.segment_sum((marg | drop).astype(jnp.int32), ba.host,
+                               ba.F)
+    return marg, drop, died
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
