@@ -409,40 +409,49 @@ class FullSystem:
 
         hyps, perturbed = self._motion_hypotheses()
 
-        def run_batch(T_list):
+        def run_batch(T_list, min_level=0):
             Ts = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_list])
             return TK.track_hypotheses(
                 pyr, self.templates, Ts, aff0, self.ref_aff, exposures,
-                intr, self.n_levels,
+                intr, self.n_levels, min_level=min_level,
                 coarse_cutoff_th=self.settings.coarse_cutoff_th,
                 huber=self.settings.huber_th,
             )
 
-        out = run_batch(hyps)
-        good = np.asarray(out["good"])
-        res0 = np.asarray(out["residuals"][:, 0])
-        best = None
-        ok_mask = good & np.isfinite(res0)
-        if ok_mask.any():
-            cand = np.where(ok_mask)[0]
-            best = cand[np.argmin(res0[cand])]
-        achieved = res0[best] if best is not None else np.inf
-        if best is None or achieved >= self.last_coarse_rmse[0] * \
-                self.settings.re_track_threshold:
-            # escalate: rotation-perturbed restarts in batches
-            for c0 in range(0, len(perturbed), 26):
-                out2 = run_batch(perturbed[c0:c0 + 26])
-                good2 = np.asarray(out2["good"])
-                res2 = np.asarray(out2["residuals"][:, 0])
-                ok2 = good2 & np.isfinite(res2)
-                if ok2.any():
-                    c = np.where(ok2)[0]
-                    b2 = c[np.argmin(res2[c])]
-                    if best is None or res2[b2] < achieved:
-                        out, best, achieved = out2, b2, res2[b2]
-                if best is not None and achieved < \
-                        self.last_coarse_rmse[0] * self.settings.re_track_threshold:
-                    break
+        def pick(out, lvl=0):
+            good = np.asarray(out["good"])
+            res = np.asarray(out["residuals"][:, lvl])
+            ok = good & np.isfinite(res)
+            if not ok.any():
+                return None, np.inf
+            c = np.where(ok)[0]
+            b = c[np.argmin(res[c])]
+            return int(b), float(res[b])
+
+        achieve_th = self.last_coarse_rmse[0] * self.settings.re_track_threshold
+
+        # phase 1: the primary hypothesis alone (covers the typical frame —
+        # the reference stops after try 0 when it achieves, FullSystem.cpp:270)
+        out = run_batch(hyps[:1])
+        best, achieved = pick(out)
+        if best is None or achieved >= achieve_th:
+            # phase 2: the remaining standard hypotheses, full track
+            if len(hyps) > 1:
+                out2 = run_batch(_pad_hyps(hyps[1:], 5))
+                b2, a2 = pick(out2)
+                if b2 is not None and a2 < achieved:
+                    out, best, achieved = out2, b2, a2
+        if best is None or achieved >= achieve_th:
+            # phase 3: rotation-perturbed restarts screened at the coarsest
+            # level only (FullSystem.cpp:190), then full track on the best 2
+            coarse = run_batch(perturbed, min_level=self.n_levels - 1)
+            res_c = np.asarray(coarse["residuals"][:, self.n_levels - 1])
+            res_c = np.where(np.isfinite(res_c), res_c, np.inf)
+            top2 = np.argsort(res_c)[:2]
+            out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5))
+            b3, a3 = pick(out3)
+            if b3 is not None and a3 < achieved:
+                out, best, achieved = out3, b3, a3
 
         if best is None:
             shell.pose_valid = False
@@ -1052,6 +1061,14 @@ def _insert_activated_jit(ba, imm, ok, kill, idepth):
     )
     imm = imm._replace(valid=imm.valid & ~ok & ~kill)
     return ba, imm
+
+
+def _pad_hyps(hyps, size):
+    """Pad a hypothesis list to a fixed batch size (stable jit signatures)."""
+    out = list(hyps)[:size]
+    while len(out) < size:
+        out.append(out[-1] if out else np.eye(4))
+    return out
 
 
 @jax.jit

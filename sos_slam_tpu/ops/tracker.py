@@ -284,7 +284,7 @@ def track_level(
 @functools.partial(
     jax.jit,
     static_argnames=("intrinsics", "n_levels", "coarse_cutoff_th", "huber",
-                     "fix_a", "fix_b"),
+                     "fix_a", "fix_b", "min_level"),
 )
 def track_newest_coarse(
     pyramid_new: Tuple[jnp.ndarray, ...],   # tuple of (H_l, W_l, 3)
@@ -300,13 +300,15 @@ def track_newest_coarse(
     huber: float = 9.0,
     fix_a: bool = False,
     fix_b: bool = False,
+    min_level: int = 0,
 ):
-    """Full coarse-to-fine track. Returns dict with T, aff, residuals (6,),
-    flow (2,), good (bool).
+    """Coarse-to-fine track down to `min_level`. Returns dict with T, aff,
+    residuals (6,), flow (2,), good (bool).
 
-    The reference's repeat-level trick (one extra pass of a level whose
-    cutoff had to be raised, CoarseTracker.cpp:517-520) is reproduced with a
-    `lax.cond` re-run.
+    min_level = n_levels-1 gives the cheap coarsest-only screening pass the
+    reference uses for its rotation-perturbed restart hypotheses
+    ("they will only be tried on the coarsest level", FullSystem.cpp:190).
+    The repeat-level trick (CoarseTracker.cpp:517-520) is a lax.cond re-run.
     """
     T = T_init
     aff = aff_init
@@ -315,7 +317,7 @@ def track_newest_coarse(
     good = jnp.array(True)
     have_repeated = jnp.array(False)
 
-    for lvl in range(n_levels - 1, -1, -1):
+    for lvl in range(n_levels - 1, min_level - 1, -1):
         max_it = MAX_ITERS_PER_LEVEL[min(lvl, len(MAX_ITERS_PER_LEVEL) - 1)]
 
         def run(T, aff, lvl=lvl, max_it=max_it):
@@ -363,12 +365,14 @@ def track_hypotheses(
     exposures: jnp.ndarray,
     intrinsics,
     n_levels: int,
+    min_level: int = 0,
     **kw,
 ):
     """vmap over motion hypotheses (replaces the ~80 sequential re-tries of
     FullSystem::trackNewCoarse, FullSystem.cpp:188-270)."""
     fn = lambda T0: track_newest_coarse(
         pyramid_new, templates, T0, aff_init, ref_aff, exposures,
-        jnp.full((6,), jnp.nan), tuple(intrinsics), n_levels, **kw,
+        jnp.full((6,), jnp.nan), tuple(intrinsics), n_levels,
+        min_level=min_level, **kw,
     )
     return jax.vmap(fn)(T_inits)
