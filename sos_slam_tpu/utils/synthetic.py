@@ -78,6 +78,45 @@ def render_plane(
     return img, idepth
 
 
+def render_two_planes(
+    calib: CalibPyramid,
+    cam_to_world: jnp.ndarray,
+    z_near: float = 2.0,
+    z_far: float = 6.0,
+    seed: int = 0,
+    lvl: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two textured planes with a vertical depth discontinuity at world x=0
+    (x<0 -> z_near, x>=0 -> z_far): multi-view consistent imagery WITH 3-D
+    structure (occlusion-free for small lateral motions on the +x side).
+    Returns (image, idepth)."""
+    w, h = calib.widths[lvl], calib.heights[lvl]
+    fx, fy, cx, cy = calib.intrinsics(lvl)
+    u = jnp.arange(w, dtype=jnp.float32)
+    v = jnp.arange(h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    rc = jnp.stack([(uu - cx) / fx, (vv - cy) / fy, jnp.ones_like(uu)], -1)
+    R = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+    rw = rc @ R.T
+
+    def hit(plane_z):
+        s = (plane_z - t[2]) / jnp.where(jnp.abs(rw[..., 2]) < 1e-6, 1e-6,
+                                         rw[..., 2])
+        s = jnp.maximum(s, 1e-3)
+        return t + s[..., None] * rw
+
+    p_near = hit(z_near)
+    p_far = hit(z_far)
+    use_near = p_near[..., 0] < 0.0
+    pw = jnp.where(use_near[..., None], p_near, p_far)
+    img = jnp.where(use_near, texture(p_near[..., :2], seed),
+                    texture(p_far[..., :2], seed + 1))
+    pc = (pw - t) @ R
+    idepth = 1.0 / jnp.maximum(pc[..., 2], 1e-3)
+    return img, idepth
+
+
 def make_sequence(
     calib: CalibPyramid,
     n_frames: int,

@@ -124,3 +124,16 @@ class TestSelector:
         )
         vals = set(np.unique(np.asarray(status)).tolist())
         assert vals.issubset({0, 1, 2, 4})
+
+
+class TestTwoPlanes:
+    def test_depth_discontinuity(self):
+        from sos_slam_tpu.utils.synthetic import default_calib, render_two_planes
+        import jax.numpy as jnp
+        calib = default_calib(128, 96)
+        img, idp = render_two_planes(calib, jnp.eye(4))
+        left = np.asarray(idp[:, :40])
+        right = np.asarray(idp[:, -40:])
+        assert abs(left.mean() - 0.5) < 0.05      # z_near = 2
+        assert abs(right.mean() - 1.0 / 6.0) < 0.05  # z_far = 6
+        assert np.isfinite(np.asarray(img)).all()
