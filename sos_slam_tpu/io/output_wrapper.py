@@ -60,9 +60,17 @@ class PoseRecorder(Output3DWrapper):
     def _row(shell):
         T = shell.cam_to_world_scaled if shell.cam_to_world_scaled is not None \
             else shell.cam_to_world
-        from sos_slam_tpu.utils import lie
-        import jax.numpy as jnp
-        q = np.asarray(lie.so3_log(jnp.asarray(T[:3, :3], jnp.float32)))
+        # numpy-only rotation log (a device dispatch per frame is ~70ms on
+        # the remote-TPU path)
+        R = np.asarray(T[:3, :3])
+        cos_t = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+        theta = np.arccos(cos_t)
+        if theta < 1e-6:
+            q = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                                R[1, 0] - R[0, 1]])
+        else:
+            q = theta / (2 * np.sin(theta)) * np.array(
+                [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
         return [shell.timestamp, *T[:3, 3], *q]
 
     def publish_cam_pose(self, shell, calib) -> None:

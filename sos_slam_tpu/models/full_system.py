@@ -338,9 +338,8 @@ class FullSystem:
                 lastF_2_sl = np.linalg.inv(T_sl) @ T_ref
                 const = np.linalg.inv(fh_2_sl) @ lastF_2_sl
                 dbl = np.linalg.inv(fh_2_sl) @ np.linalg.inv(fh_2_sl) @ lastF_2_sl
-                half_xi = 0.5 * np.asarray(lie.se3_log(jnp.asarray(fh_2_sl)))
-                half = np.asarray(
-                    lie.se3_inv(lie.se3_exp(jnp.asarray(half_xi)))) @ lastF_2_sl
+                half_xi = 0.5 * lie.np_se3_log(fh_2_sl)
+                half = np.linalg.inv(lie.np_se3_exp(half_xi)) @ lastF_2_sl
                 hyps = [const, dbl, half, lastF_2_sl, np.eye(4)]
                 # IMU-predicted hypothesis first (FullSystem.cpp:163-173):
                 # gyro-integrated rotation + constant-velocity translation
@@ -363,9 +362,8 @@ class FullSystem:
         for delta in (0.02, 0.03, 0.04):
             for rs in rot_signs:
                 q = np.array([1.0, rs[0] * delta, rs[1] * delta, rs[2] * delta])
-                Rm = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
                 Tp = np.eye(4)
-                Tp[:3, :3] = Rm
+                Tp[:3, :3] = lie.np_quat_to_rot(q)
                 perturbed.append(base @ Tp)
         return hyps, perturbed
 
@@ -380,7 +378,7 @@ class FullSystem:
         samples = [s for s in self.imu_queue if t0 < s[0] <= t1]
         if len(samples) < 2:
             return None
-        newest = int(jnp.sum(self.ba.frame_valid)) - 1
+        newest = len(self.frame_shell_idx) - 1
         bg = np.asarray(self.imu.state[newest] * np.asarray(IM.IMU_SCALE21)
                         )[3:6]
         ric = np.asarray(self.settings.rot_imu_cam).reshape(3, 3)
@@ -389,8 +387,7 @@ class FullSystem:
         for (t, _, g) in samples:
             dt = max(t - t_prev, 0.0)
             w_cam = ric.T @ (np.asarray(g) - bg)
-            R = R @ np.asarray(lie.so3_exp(jnp.asarray(w_cam * dt,
-                                                       jnp.float32)))
+            R = R @ lie.np_so3_exp(w_cam * dt)
             t_prev = t
         # translation from the constant-motion hypothesis
         T_pred = T_ref @ np.linalg.inv(const_hyp)   # world pose of new frame
@@ -403,24 +400,29 @@ class FullSystem:
         FullSystem.cpp:138-309), with hypotheses batched via vmap."""
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         # init affine from the LAST frame (aff_last_2_l, FullSystem.cpp:148)
-        aff0 = jnp.asarray(self.shells[-2].aff, jnp.float32) \
-            if len(self.shells) >= 2 else jnp.zeros(2)
-        exposures = jnp.array([self.ref_exposure, exposure])
+        # NOTE: host-side numpy throughout — every eager device op is a
+        # ~70ms dispatch round-trip on the remote-TPU path
+        aff0 = np.asarray(self.shells[-2].aff, np.float32) \
+            if len(self.shells) >= 2 else np.zeros(2, np.float32)
+        exposures = np.array([self.ref_exposure, exposure], np.float32)
 
         hyps, perturbed = self._motion_hypotheses()
 
         def run_batch(T_list, min_level=0):
-            Ts = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_list])
-            return TK.track_hypotheses(
+            Ts = np.stack([np.asarray(t, np.float32) for t in T_list])
+            out = TK.track_hypotheses(
                 pyr, self.templates, Ts, aff0, self.ref_aff, exposures,
                 intr, self.n_levels, min_level=min_level,
                 coarse_cutoff_th=self.settings.coarse_cutoff_th,
                 huber=self.settings.huber_th,
             )
+            # materialize ONCE: all later host logic is pure numpy (avoids
+            # per-field eager-indexing dispatches)
+            return {k: np.asarray(v) for k, v in out.items()}
 
         def pick(out, lvl=0):
-            good = np.asarray(out["good"])
-            res = np.asarray(out["residuals"][:, lvl])
+            good = out["good"]
+            res = out["residuals"][:, lvl]
             ok = good & np.isfinite(res)
             if not ok.any():
                 return None, np.inf
@@ -445,7 +447,7 @@ class FullSystem:
             # phase 3: rotation-perturbed restarts screened at the coarsest
             # level only (FullSystem.cpp:190), then full track on the best 2
             coarse = run_batch(perturbed, min_level=self.n_levels - 1)
-            res_c = np.asarray(coarse["residuals"][:, self.n_levels - 1])
+            res_c = coarse["residuals"][:, self.n_levels - 1]
             res_c = np.where(np.isfinite(res_c), res_c, np.inf)
             top2 = np.argsort(res_c)[:2]
             out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5))
@@ -459,10 +461,10 @@ class FullSystem:
                 len(self.shells) > 1 else np.eye(4)
             return None
 
-        T_ref_to_new = np.asarray(out["T"][best])
-        aff = np.asarray(out["aff"][best])
-        flow = np.asarray(out["flow"][best])
-        residuals = np.asarray(out["residuals"][best])
+        T_ref_to_new = out["T"][best]
+        aff = out["aff"][best]
+        flow = out["flow"][best]
+        residuals = out["residuals"][best]
 
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
         shell.cam_to_world = ref_shell.cam_to_world @ np.linalg.inv(T_ref_to_new)
@@ -525,7 +527,7 @@ class FullSystem:
         marg_flags = self._flag_frames_for_marginalization()
 
         # insert frame
-        slot = int(jnp.sum(self.ba.frame_valid))
+        slot = len(self.frame_shell_idx)
         if slot >= self.F:
             raise RuntimeError("window overflow — marginalization failed")
         first = len(self.kf_shell_ids) == 0
@@ -596,7 +598,7 @@ class FullSystem:
         self.templates, self.pc_l0 = WIN.build_track_template(
             self.ba, self.HdiF, pyr, self.n_levels, self.tmpl_sizes,
             self.w, self.h)
-        self.ref_slot = int(jnp.sum(self.ba.frame_valid)) - 1
+        self.ref_slot = len(self.frame_shell_idx) - 1
         self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
         self.ref_exposure = exposure
 
@@ -740,7 +742,7 @@ class FullSystem:
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:54-141).
         Returns window-slot indices to marginalize AFTER this KF."""
         s = self.settings
-        n = int(jnp.sum(self.ba.frame_valid))
+        n = len(self.frame_shell_idx)
         if n < s.min_frames:
             return []
         flags = []
@@ -842,8 +844,9 @@ class FullSystem:
         s = self.settings
         _, absgrads = build_pyramid(pyr[0][..., 0], 3)
         self.key, k = jax.random.split(self.key)
-        status, n_sel, _ = selector.make_maps(
-            pyr[0], absgrads, s, s.desired_immature_density, k, recursions=1)
+        status, n_sel, self._sel_pot = selector.make_maps(
+            pyr[0], absgrads, s, s.desired_immature_density, k,
+            current_potential=getattr(self, "_sel_pot", 3), recursions=1)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
         self.imm = _insert_new_traces_jit(
             self.imm, pyr[0], status, jnp.int32(slot), s, n_slots)

@@ -240,14 +240,14 @@ def make_pixel_status(dI: jnp.ndarray, desired: float, min_use_grad: float = 10.
                       recursions: int = 5) -> Tuple[jnp.ndarray, int]:
     """Adaptive-sparsity coarse selection (makePixelStatus,
     PixelSelector.h:188-253). Host loop over jitted grid_max_selection."""
-    sparsity = 5
+    sparsity = 4
     th_fac = 1.0
     for rec in range(recursions + 1):
         m = grid_max_selection(dI, max(sparsity, 1),
                                th_fac * min_use_grad * 0.75)
         n = int(jnp.sum(m))
         quotia = n / max(desired, 1.0)
-        new_sparsity = max(int(sparsity * quotia ** 0.5 + 0.7), 1)
+        new_sparsity = _snap_pot(max(int(sparsity * quotia ** 0.5 + 0.7), 1))
         old_th = th_fac
         if new_sparsity == 1 and sparsity == 1:
             th_fac = 0.5
@@ -256,6 +256,16 @@ def make_pixel_status(dI: jnp.ndarray, desired: float, min_use_grad: float = 10.
             return m, n
         sparsity = new_sparsity
     return m, n
+
+
+# pot values are STATIC jit arguments: each distinct value costs a full XLA
+# compile of `select` (minutes on the remote-compile TPU path). Snap the
+# adaptive potential to this ladder so the program count stays bounded.
+POT_LADDER = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def _snap_pot(pot: int) -> int:
+    return min(POT_LADDER, key=lambda p: abs(p - pot))
 
 
 def make_maps(
@@ -277,7 +287,7 @@ def make_maps(
     ths = block_thresholds(
         absgrads[0], settings.min_grad_hist_cut, settings.min_grad_hist_add
     )
-    pot = current_potential
+    pot = _snap_pot(current_potential)
     for it in range(recursions + 1):
         status, _ = select(
             dI0, absgrads[0], absgrads[1], absgrads[2], ths, pot,
@@ -287,11 +297,11 @@ def make_maps(
         n_have = int(jnp.sum(status != 0))
         quotia = density / max(n_have, 1)
         K = n_have * (pot + 1) ** 2
-        ideal = max(int((K / density) ** 0.5) - 1, 1)
+        ideal = _snap_pot(max(int((K / density) ** 0.5) - 1, 1))
         if it < recursions and quotia > 1.25 and pot > 1:
-            pot = min(ideal, pot - 1)
+            pot = _snap_pot(min(ideal, pot - 1))
         elif it < recursions and quotia < 0.25:
-            pot = max(ideal, pot + 1)
+            pot = _snap_pot(max(ideal, pot + 1))
         else:
             break
     if quotia < 0.95:

@@ -273,6 +273,85 @@ def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return pts @ jnp.swapaxes(T[..., :3, :3], -1, -2) + T[..., :3, 3]
 
 
+# ---------------------------------------------------------------------------
+# NumPy twins for host-side control logic (every eager device op is a remote
+# dispatch on the tunneled-TPU path; pose bookkeeping must stay on the host)
+# ---------------------------------------------------------------------------
+
+def np_so3_exp(w):
+    import numpy as np
+    w = np.asarray(w, np.float64)
+    th2 = float(w @ w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th2 < 1e-12:
+        return np.eye(3) + W + 0.5 * (W @ W)
+    th = np.sqrt(th2)
+    return np.eye(3) + np.sin(th) / th * W + (1 - np.cos(th)) / th2 * (W @ W)
+
+
+def np_so3_log(R):
+    import numpy as np
+    R = np.asarray(R, np.float64)
+    cos_t = np.clip((np.trace(R) - 1) * 0.5, -1.0, 1.0)
+    th = np.arccos(cos_t)
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if th < 1e-7:
+        return 0.5 * v
+    if cos_t < -0.99999:
+        M = (R + np.eye(3)) * 0.5
+        k = int(np.argmax(np.diag(M)))
+        axis = M[:, k] / max(np.linalg.norm(M[:, k]), 1e-12)
+        return axis * th
+    return th / (2 * np.sin(th)) * v
+
+
+def np_se3_exp(xi):
+    import numpy as np
+    xi = np.asarray(xi, np.float64)
+    v, w = xi[:3], xi[3:]
+    R = np_so3_exp(w)
+    th2 = float(w @ w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th2 < 1e-12:
+        V = np.eye(3) + 0.5 * W + (W @ W) / 6.0
+    else:
+        th = np.sqrt(th2)
+        V = np.eye(3) + (1 - np.cos(th)) / th2 * W \
+            + (th - np.sin(th)) / (th2 * th) * (W @ W)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T
+
+
+def np_se3_log(T):
+    import numpy as np
+    T = np.asarray(T, np.float64)
+    w = np_so3_log(T[:3, :3])
+    th2 = float(w @ w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th2 < 1e-12:
+        Vinv = np.eye(3) - 0.5 * W + (W @ W) / 12.0
+    else:
+        th = np.sqrt(th2)
+        half = th * 0.5
+        k = (1 - half * np.cos(half) / np.sin(half)) / th2
+        Vinv = np.eye(3) - 0.5 * W + k * (W @ W)
+    return np.concatenate([Vinv @ T[:3, 3], w])
+
+
+def np_quat_to_rot(q):
+    import numpy as np
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (w,x,y,z) -> rotation matrix (…,3,3)."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

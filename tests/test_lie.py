@@ -139,3 +139,29 @@ def test_jit_and_vmap():
     f = jax.jit(jax.vmap(lambda xi: lie.se3_log(lie.se3_exp(xi))))
     xi = jax.random.normal(KEY, (64, 6)) * 0.5
     np.testing.assert_allclose(f(xi), xi, atol=5e-5)
+
+
+class TestNumpyTwins:
+    """Host-side numpy twins must match the jax implementations."""
+
+    def test_np_so3(self):
+        for w in ([0.3, -0.2, 0.5], [1e-9, 0, 0], [0, 2.8, 0]):
+            np.testing.assert_allclose(
+                lie.np_so3_exp(w), lie.so3_exp(jnp.array(w, jnp.float32)),
+                atol=1e-5)
+            R = lie.np_so3_exp(w)
+            np.testing.assert_allclose(lie.np_so3_log(R), w, atol=1e-6)
+
+    def test_np_se3(self):
+        xi = np.array([0.4, -0.1, 0.2, 0.2, -0.3, 0.1])
+        np.testing.assert_allclose(
+            lie.np_se3_exp(xi), lie.se3_exp(jnp.asarray(xi, jnp.float32)),
+            atol=1e-5)
+        np.testing.assert_allclose(lie.np_se3_log(lie.np_se3_exp(xi)), xi,
+                                   atol=1e-9)
+
+    def test_np_quat(self):
+        q = np.array([0.9, 0.1, -0.2, 0.15])
+        np.testing.assert_allclose(
+            lie.np_quat_to_rot(q),
+            lie.quat_to_rot(jnp.asarray(q, jnp.float32)), atol=1e-5)
