@@ -910,8 +910,10 @@ class FullSystem:
             for lvl in range(self.n_levels):
                 u = (pts[:, 0] + 0.5) / (1 << lvl) - 0.5
                 v = (pts[:, 1] + 0.5) / (1 << lvl) - 0.5
-                inten[:, lvl] = np.asarray(interp_bilinear(
-                    pyramid[lvl][..., 0], jnp.asarray(u), jnp.asarray(v)))
+                # host-side numpy sampling: the point count varies per
+                # export, so an eager device interp would recompile each time
+                img = np.asarray(pyramid[lvl])[:, :, 0]
+                inten[:, lvl] = _np_bilinear(img, u, v)
         else:
             pts_uvdi = np.zeros((0, 3), np.float32)
             inten = np.zeros((0, self.n_levels), np.float32)
@@ -1064,6 +1066,16 @@ def _insert_activated_jit(ba, imm, ok, kill, idepth):
     )
     imm = imm._replace(valid=imm.valid & ~ok & ~kill)
     return ba, imm
+
+
+def _np_bilinear(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    x0 = np.clip(np.floor(u), 0, w - 2).astype(int)
+    y0 = np.clip(np.floor(v), 0, h - 2).astype(int)
+    dx = np.clip(u - x0, 0, 1)
+    dy = np.clip(v - y0, 0, 1)
+    return (img[y0, x0] * (1 - dx) * (1 - dy) + img[y0, x0 + 1] * dx * (1 - dy)
+            + img[y0 + 1, x0] * (1 - dx) * dy + img[y0 + 1, x0 + 1] * dx * dy)
 
 
 def _pad_hyps(hyps, size):
