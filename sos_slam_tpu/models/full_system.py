@@ -572,9 +572,11 @@ class FullSystem:
                 self.ba, self.imu, self.dI, s, self.w, self.h,
                 max_its=max_its, min_its=s.min_opt_iterations)
         else:
-            self.ba, stats = E.optimize(self.ba, self.dI, s, self.w, self.h,
-                                        max_its=max_its,
-                                        min_its=s.min_opt_iterations)
+            # fused: BA + HdiF + pose/affine extraction + tracker template
+            (self.ba, stats, self.HdiF, self.templates, self.pc_l0,
+             T_cw_j, affs_j) = _kf_core_jit(
+                self.ba, self.dI, pyr, s, self.w, self.h,
+                self.tmpl_sizes, max_its, s.min_opt_iterations)
         rmse = float(stats["rmse"])
         if bool(stats["is_lost"]):
             self.is_lost = True
@@ -584,20 +586,22 @@ class FullSystem:
             self.init_failed = True
             return
 
-        # recompute HdiF for the template weights (one fused call)
-        self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
+        if s.enable_imu and self.imu_initialized:
+            # VIO path computes HdiF/template separately (rare mode join)
+            self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
+            self.templates, self.pc_l0 = WIN.build_track_template(
+                self.ba, self.HdiF, pyr, self.n_levels, self.tmpl_sizes,
+                self.w, self.h)
+            T_cw_j = B.state_to_pose(self.ba.T_cw_eval, self.ba.state)
+            affs_j = B.aff_real(self.ba.state)
 
         # write back optimized poses to shells
-        T_cw = np.asarray(B.state_to_pose(self.ba.T_cw_eval, self.ba.state))
-        affs = np.asarray(B.aff_real(self.ba.state))
+        T_cw = np.asarray(T_cw_j)
+        affs = np.asarray(affs_j)
         for i, sh_idx in enumerate(self.frame_shell_idx):
             self.shells[sh_idx].cam_to_world = T_cw[i]
             self.shells[sh_idx].aff = affs[i]
 
-        # rebuild tracker reference on the newest KF
-        self.templates, self.pc_l0 = WIN.build_track_template(
-            self.ba, self.HdiF, pyr, self.n_levels, self.tmpl_sizes,
-            self.w, self.h)
         self.ref_slot = len(self.frame_shell_idx) - 1
         self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
         self.ref_exposure = exposure
@@ -1110,6 +1114,20 @@ def _pre_marg_jit(ba, imm, k):
         host=jnp.where(imm.host > k, imm.host - 1, imm.host),
     )
     return ba, imm
+
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "sizes"))
+def _kf_core_jit(ba, dI, pyr, settings, w, h, sizes, max_its, min_its):
+    """Fused keyframe core: windowed BA + HdiF + pose extraction + tracker
+    template rebuild — one device call instead of four."""
+    ba, stats = E.optimize(ba, dI, settings, w, h, max_its=max_its,
+                           min_its=min_its)
+    HdiF = _hdif_jit(ba, dI, settings, w, h)
+    templates, pc_l0 = WIN.build_track_template(
+        ba, HdiF, pyr, len(pyr), sizes, w, h)
+    return (ba, stats, HdiF, templates, pc_l0,
+            B.state_to_pose(ba.T_cw_eval, ba.state), B.aff_real(ba.state))
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
