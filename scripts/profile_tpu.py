@@ -21,7 +21,7 @@ def timed(mod, name, get_leaf=None):
         return out
     setattr(mod, name, wrapped)
 
-for n in ["_hdif_jit","_activation_jit","_insert_activated_jit","_insert_new_traces_jit",
+for n in ["_kf_core_jit","_activate_jit","_marg_points_jit","_marg_frame_jit","_select_insert_jit","_trace_stats_jit","_insert_frame_jit","_hdif_jit","_activation_jit","_insert_activated_jit","_insert_new_traces_jit",
           "_trace_jit","_frame_stats_jit","_flag_points_jit","_pre_marg_jit",
           "_frame_residual_energy"]:
     timed(fsm, n)
@@ -30,6 +30,9 @@ timed(E, "marginalize_points")
 timed(E, "marginalize_frame")
 timed(W, "build_track_template")
 timed(TK, "track_hypotheses")
+timed(TK, "track_newest_coarse")
+import sos_slam_tpu.ops.image as IMG
+timed(IMG, "build_pyramid")
 import sos_slam_tpu.ops.selector as SEL
 timed(SEL, "select")
 timed(SEL, "block_thresholds")

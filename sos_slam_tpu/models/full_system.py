@@ -522,20 +522,30 @@ class FullSystem:
         t0 = _time.time()
         s = self.settings
 
-        self._trace_new_coarse(pyr, shell, exposure)
+        if len(self.frame_shell_idx) >= s.min_frames:
+            # fused trace + per-frame stats (one dispatch)
+            self.imm, pt_in, imm_in, aff_j, T_cw_stats = _trace_stats_jit(
+                self.ba, self.imm, pyr[0],
+                jnp.asarray(shell.cam_to_world, jnp.float32),
+                jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
+                self.w, self.h, s)
+            marg_flags = self._flag_frames_for_marginalization(
+                (pt_in, imm_in, aff_j, T_cw_stats))
+        else:
+            self._trace_new_coarse(pyr, shell, exposure)
+            marg_flags = []
 
-        marg_flags = self._flag_frames_for_marginalization()
-
-        # insert frame
+        # insert frame (+ level-0 image) in one dispatch
         slot = len(self.frame_shell_idx)
         if slot >= self.F:
             raise RuntimeError("window overflow — marginalization failed")
         first = len(self.kf_shell_ids) == 0
-        self.ba = WIN.insert_frame(
-            self.ba, jnp.asarray(shell.cam_to_world, jnp.float32),
-            jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
-            self._prior_row(first=first))
-        self.dI = self.dI.at[slot].set(pyr[0])
+        self.ba, self.dI = _insert_frame_jit(
+            self.ba, self.dI, pyr[0],
+            jnp.asarray(shell.cam_to_world, jnp.float32),
+            jnp.asarray(shell.aff, jnp.float32),
+            jnp.asarray(exposure, jnp.float32),
+            self._prior_row(first=first), jnp.int32(slot))
         self.frame_pyramids[slot] = pyr
         self.frame_shell_idx.append(self.shells.index(shell))
         self.kf_shell_ids.append(shell.id)
@@ -742,7 +752,7 @@ class FullSystem:
             rel[:3, 3] *= ref.scale
             sh.cam_to_world_scaled = ref.cam_to_world_scaled @ rel
 
-    def _flag_frames_for_marginalization(self) -> List[int]:
+    def _flag_frames_for_marginalization(self, stats=None) -> List[int]:
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:54-141).
         Returns window-slot indices to marginalize AFTER this KF."""
         s = self.settings
@@ -751,7 +761,9 @@ class FullSystem:
             return []
         flags = []
         # in = active + immature points, out = cumulative deaths per host
-        pt_in_j, imm_in_j, aff_j, T_cw_j = _frame_stats_jit(self.ba, self.imm)
+        if stats is None:
+            stats = _frame_stats_jit(self.ba, self.imm)
+        pt_in_j, imm_in_j, aff_j, T_cw_j = stats
         pt_in = np.asarray(pt_in_j)
         imm_in = np.asarray(imm_in_j)
         aff = np.asarray(aff_j)
@@ -792,28 +804,10 @@ class FullSystem:
     def _activate_points(self):
         """activatePointsMT (FullSystem.cpp:375-531) with brute-force
         distance instead of the BFS distance map."""
-        s = self.settings
-        n_pts = int(jnp.sum(self.ba.pt_valid))
-        d = s.desired_point_density
-        delta = 0.0
-        if n_pts < d * 0.66: delta -= 0.8
-        if n_pts < d * 0.8: delta -= 0.5
-        elif n_pts < d * 0.9: delta -= 0.2
-        elif n_pts < d: delta -= 0.1
-        if n_pts > d * 1.5: delta += 0.8
-        if n_pts > d * 1.3: delta += 0.5
-        if n_pts > d * 1.15: delta += 0.2
-        if n_pts > d: delta += 0.1
-        self.current_min_act_dist = float(
-            np.clip(self.current_min_act_dist + delta, 0.0, 4.0))
-
-        imm = self.imm
-        want, kill, idepth, ok, res_in = _activation_jit(
-            self.ba, imm, self.dI,
-            jnp.float32(self.current_min_act_dist),
+        self.ba, self.imm, self.current_min_act_dist = _activate_jit(
+            self.ba, self.imm, self.dI,
+            jnp.asarray(self.current_min_act_dist, jnp.float32),
             self.w, self.h, self.settings)
-        self.ba, self.imm = _insert_activated_jit(self.ba, imm, ok, kill,
-                                                  idepth)
 
     def _flag_and_marginalize_points(self, frame_marg_flags):
         """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
@@ -822,11 +816,21 @@ class FullSystem:
         flagged_hosts = np.zeros(self.F, bool)
         for k in frame_marg_flags:
             flagged_hosts[k] = True
-        marg, drop, died = _flag_points_jit(
-            ba, self.HdiF, jnp.asarray(flagged_hosts), s)
+        if s.enable_imu and self.imu_initialized:
+            marg, drop, died = _flag_points_jit(
+                ba, self.HdiF, jnp.asarray(flagged_hosts), s)
+            self.ba, self.imu = E.marginalize_points_vio(
+                ba, self.imu, self.dI, marg, s, self.w, self.h)
+            self.ba = E.drop_points(self.ba, drop)
+        else:
+            # fused flag + marginalize + drop (one dispatch)
+            self.ba, marg, died = _marg_points_jit(
+                ba, self.dI, self.HdiF, jnp.asarray(flagged_hosts), s,
+                self.w, self.h)
         self.host_out += np.asarray(died)
 
         # cache marginalized points per host for the loop-closure export
+        # (reads the PRE-marginalization arrays, which `ba` still holds)
         marg_np = np.asarray(marg)
         if marg_np.any():
             hosts = np.asarray(ba.host)[marg_np]
@@ -836,43 +840,63 @@ class FullSystem:
             for hh, uu, vv, ii in zip(hosts, us, vs, ids):
                 self._marg_pts_cache[int(hh)].append((uu, vv, ii))
 
-        if s.enable_imu and self.imu_initialized:
-            self.ba, self.imu = E.marginalize_points_vio(
-                ba, self.imu, self.dI, marg, s, self.w, self.h)
-        else:
-            self.ba = E.marginalize_points(ba, self.dI, marg, s, self.w, self.h)
-        self.ba = E.drop_points(self.ba, drop)
-
     def _make_new_traces(self, pyr, slot):
-        """makeNewTraces (FullSystem.cpp:1071-1097)."""
+        """makeNewTraces (FullSystem.cpp:1071-1097): fused gradient
+        pyramid + thresholds + selection + density subsample + immature
+        construction + pool scatter — one dispatch in the steady state.
+        The potential adaptation (PixelSelector2.cpp:146-283 K-model) runs
+        on the returned pre-subsample count; a re-selection happens within
+        the same KF only when the density is far off (the reference's
+        recursion), otherwise the adapted pot applies from the next KF."""
         s = self.settings
-        _, absgrads = build_pyramid(pyr[0][..., 0], 3)
-        self.key, k = jax.random.split(self.key)
-        status, n_sel, self._sel_pot = selector.make_maps(
-            pyr[0], absgrads, s, s.desired_immature_density, k,
-            current_potential=getattr(self, "_sel_pot", 3), recursions=1)
+        density = float(s.desired_immature_density)
+        pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
-        self.imm = _insert_new_traces_jit(
-            self.imm, pyr[0], status, jnp.int32(slot), s, n_slots)
+        for attempt in range(2):
+            self.key, k = jax.random.split(self.key)
+            imm_new, n_have_j = _select_insert_jit(
+                self.imm, pyr[0], jnp.int32(slot), k, jnp.float32(density),
+                s, pot, n_slots)
+            n_have = int(n_have_j)
+            quotia = density / max(n_have, 1)
+            K = n_have * (pot + 1) ** 2
+            ideal = selector._snap_pot(
+                max(int((K / density) ** 0.5) - 1, 1))
+            if attempt == 0 and quotia > 1.25 and pot > 1:
+                pot = selector._snap_pot(min(ideal, pot - 1))
+                continue
+            if attempt == 0 and quotia < 0.25:
+                pot = selector._snap_pot(max(ideal, pot + 1))
+                continue
+            break
+        self._sel_pot = pot
+        self.imm = imm_new
 
     def _marginalize_frames(self, flags: List[int]):
         """Marginalize flagged window slots (highest first so indices hold)."""
         for k in sorted(flags, reverse=True):
             sh_idx = self.frame_shell_idx[k]
             self.shells[sh_idx].marginalized_at = len(self.shells)
-            # export FIRST: dso_error needs the residuals targeting k
-            kf_record = self._export_kf(k)
-            # straggler points / residual column / immature remap (one call)
-            self.ba, self.imm = _pre_marg_jit(self.ba, self.imm,
-                                              jnp.int32(k))
             if self.settings.enable_imu and self.imu_initialized:
+                # export FIRST: dso_error needs the residuals targeting k
+                e_col, n_col = _frame_residual_energy(
+                    self.ba, self.dI, jnp.int32(k), self.settings,
+                    self.w, self.h)
+                kf_record = self._export_kf(k, float(e_col), float(n_col))
+                self.ba, self.imm = _pre_marg_jit(self.ba, self.imm,
+                                                  jnp.int32(k))
                 self.ba, self.imu = E.marginalize_frame_vio(
                     self.ba, self.imu, jnp.int32(k), self.settings)
+                self.dI = jnp.concatenate(
+                    [self.dI[:k], self.dI[k + 1:],
+                     jnp.zeros_like(self.dI[:1])], 0)
             else:
-                self.ba = E.marginalize_frame(self.ba, jnp.int32(k))
-            # shift host-side bookkeeping
-            self.dI = jnp.concatenate(
-                [self.dI[:k], self.dI[k + 1:], jnp.zeros_like(self.dI[:1])], 0)
+                # fused: dso_error energy (pre-marg state) + straggler drop
+                # + residual-column kill + frame Schur + dI shift — one call
+                self.ba, self.imm, self.dI, e_col, n_col = _marg_frame_jit(
+                    self.ba, self.imm, self.dI, jnp.int32(k), self.settings,
+                    self.w, self.h)
+                kf_record = self._export_kf(k, float(e_col), float(n_col))
             self.frame_pyramids = (self.frame_pyramids[:k]
                                    + self.frame_pyramids[k + 1:] + [None])
             del self.frame_shell_idx[k]
@@ -887,19 +911,16 @@ class FullSystem:
             for ow in self.output_wrappers:
                 ow.publish_keyframes(kf_record, final=True)
 
-    def _export_kf(self, k: int):
+    def _export_kf(self, k: int, e_col: float, n_col: float):
         """Final-KF record for loop closure / output (publishKeyframes
         final=true, LoopHandler.cpp:142-220): metric-rescaled [u, v, idepth]
-        points, per-level intensities, dso_error / scale_error."""
+        points, per-level intensities, dso_error / scale_error. e_col/n_col:
+        energy/count of residuals targeting the dying frame, computed on the
+        PRE-marginalization state (FullSystemMarginalize.cpp:151-187)."""
         sh = self.shells[self.frame_shell_idx[k]]
 
-        # dso_error: energy of residuals targeting the dying frame / count^2
-        # (FullSystemMarginalize.cpp:151-187)
-        e_col, n_col = _frame_residual_energy(
-            self.ba, self.dI, jnp.int32(k), self.settings, self.w, self.h)
-        n_col = float(n_col)
         if n_col > 0:
-            dso_error = float(e_col) / n_col / n_col
+            dso_error = e_col / n_col / n_col
             self._last_dso_error = dso_error
         else:
             dso_error = 10.0 * self._last_dso_error
@@ -1115,6 +1136,93 @@ def _pre_marg_jit(ba, imm, k):
     )
     return ba, imm
 
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "settings"))
+def _trace_stats_jit(ba, imm, dI0_new, T_cw_new, aff_new, exposure_new,
+                     w, h, settings):
+    """Fused KF-path trace + per-frame window stats — one dispatch."""
+    imm = _trace_jit(ba, imm, dI0_new, T_cw_new, aff_new, exposure_new,
+                     w, h, settings)
+    pt_in, imm_in, aff, T_cw = _frame_stats_jit(ba, imm)
+    return imm, pt_in, imm_in, aff, T_cw
+
+
+@jax.jit
+def _insert_frame_jit(ba, dI, img0, T_cw, aff, exposure, prior_row, slot):
+    """Fused frame insertion + level-0 image store — one dispatch."""
+    ba = WIN.insert_frame(ba, T_cw, aff, exposure, prior_row)
+    return ba, dI.at[slot].set(img0)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "settings"))
+def _activate_jit(ba, imm, dI, min_act_dist, w, h, settings):
+    """Fused activatePointsMT: traced density adaptation of the activation
+    distance (FullSystem.cpp:377-392) + candidate gating + activation GN +
+    window scatter — one dispatch. Returns (ba, imm, new_min_act_dist)."""
+    s = settings
+    d = float(s.desired_point_density)
+    n = jnp.sum(ba.pt_valid).astype(jnp.float32)
+    delta = (
+        -0.8 * (n < 0.66 * d)
+        + jnp.where(n < 0.8 * d, -0.5,
+                    jnp.where(n < 0.9 * d, -0.2,
+                              jnp.where(n < d, -0.1, 0.0)))
+        + 0.8 * (n > 1.5 * d) + 0.5 * (n > 1.3 * d)
+        + 0.2 * (n > 1.15 * d) + 0.1 * (n > d)
+    )
+    min_act_dist = jnp.clip(min_act_dist + delta, 0.0, 4.0)
+    want, kill, idepth, ok, _ = _activation_jit(
+        ba, imm, dI, min_act_dist, w, h, settings)
+    ba, imm = _insert_activated_jit(ba, imm, ok, kill, idepth)
+    return ba, imm, min_act_dist
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _marg_points_jit(ba, dI, HdiF, flagged_hosts, settings, w, h):
+    """Fused flagPointsForRemoval + marginalizePointsF + dropPointsF —
+    one dispatch. Returns (ba, marg-mask, died-per-host)."""
+    marg, drop, died = _flag_points_jit(ba, HdiF, flagged_hosts, settings)
+    ba = E.marginalize_points(ba, dI, marg, settings, w, h)
+    ba = E.drop_points(ba, drop)
+    return ba, marg, died
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _marg_frame_jit(ba, imm, dI, k, settings, w, h):
+    """Fused frame marginalization: dying-frame residual energy (on the
+    pre-marg state, for dso_error) + straggler/column cleanup + Schur
+    frame fold + dI compaction — one dispatch."""
+    e_col, n_col = _frame_residual_energy(ba, dI, k, settings, w, h)
+    ba, imm = _pre_marg_jit(ba, imm, k)
+    ba = E.marginalize_frame(ba, k)
+    F = dI.shape[0]
+    idx = jnp.arange(F)
+    src = jnp.minimum(jnp.where(idx < k, idx, idx + 1), F - 1)
+    dI = dI[src].at[F - 1].set(0.0)
+    return ba, imm, dI, e_col, n_col
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "pot", "n_slots"))
+def _select_insert_jit(imm, dI0, slot, key, density, settings, pot, n_slots):
+    """Fused makeNewTraces compute: 3-level gradient pyramid + block
+    thresholds + hierarchical selection + density subsample + immature
+    construction + pool scatter (PixelSelector2.cpp:146-283 +
+    FullSystem.cpp:1071-1097). Returns (imm, pre-subsample count)."""
+    s = settings
+    _, absgrads = build_pyramid(dI0[..., 0], 3)
+    ths = selector.block_thresholds(
+        absgrads[0], s.min_grad_hist_cut, s.min_grad_hist_add)
+    status, _ = selector.select(
+        dI0, absgrads[0], absgrads[1], absgrads[2], ths, pot, 2.0,
+        s.grad_downweight_per_level, key)
+    n_have = jnp.sum(status != 0)
+    quotia = density / jnp.maximum(n_have.astype(jnp.float32), 1.0)
+    keep = jax.random.uniform(
+        jax.random.fold_in(key, 99), status.shape) < quotia
+    status = jnp.where(quotia < 0.95, jnp.where(keep, status, 0), status)
+    imm = _insert_new_traces_jit(imm, dI0, status, slot, settings, n_slots)
+    return imm, n_have
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h", "sizes"))

@@ -51,7 +51,7 @@ def save_snapshot(fs: FullSystem, path: str) -> None:
         frame_shell_idx=fs.frame_shell_idx,
         kf_shell_ids=fs.kf_shell_ids,
         host_out=fs.host_out.tolist(),
-        current_min_act_dist=fs.current_min_act_dist,
+        current_min_act_dist=float(fs.current_min_act_dist),
         current_scale=fs.current_scale,
         scale_trapped=fs.scale_trapped,
         scale_opt_fails=fs.scale_opt_fails,
