@@ -21,7 +21,7 @@ def timed(mod, name, get_leaf=None):
         return out
     setattr(mod, name, wrapped)
 
-for n in ["_kf_core_jit","_activate_jit","_marg_points_jit","_marg_frame_jit","_select_insert_jit","_trace_stats_jit","_insert_frame_jit","_hdif_jit","_activation_jit","_insert_activated_jit","_insert_new_traces_jit",
+for n in ["_kf_mega_jit","_marg_select_jit","_frame_step_jit","_kf_core_jit","_activate_jit","_marg_points_jit","_marg_frame_jit","_select_insert_jit","_trace_stats_jit","_insert_frame_jit","_hdif_jit","_activation_jit","_insert_activated_jit","_insert_new_traces_jit",
           "_trace_jit","_frame_stats_jit","_flag_points_jit","_pre_marg_jit",
           "_frame_residual_energy"]:
     timed(fsm, n)

@@ -183,8 +183,6 @@ class FullSystem:
             # wait for enough accel samples to estimate gravity
             # (FullSystem.cpp:626-631)
             return
-        pyr, absgrads = build_pyramid(jnp.asarray(image, jnp.float32),
-                                      self.n_levels)
         if self.settings.enable_scale_opt and image_right is not None:
             # right pyramid built lazily only when a KF is made (reference
             # builds the stereo frame only on needToMakeKF)
@@ -197,11 +195,15 @@ class FullSystem:
         self.stats["n_frames"] += 1
 
         if not self.initialized:
+            pyr, absgrads = build_pyramid(jnp.asarray(image, jnp.float32),
+                                          self.n_levels)
             self._initializer_step(pyr, absgrads, shell, exposure)
             return
 
+        # steady path: the pyramid is built INSIDE the fused frame step
         with self.telemetry.timed("track"):
-            tres = self._track_new_coarse(pyr, shell, exposure)
+            tres, pyr, traced, stats = self._track_new_coarse(
+                image, shell, exposure)
         if tres is None:
             self.is_lost = True
             return
@@ -209,7 +211,8 @@ class FullSystem:
         self.telemetry.count("keyframes" if need_kf else "frames")
         for ow in self.output_wrappers:
             ow.publish_cam_pose(shell, None)
-        self._deliver_tracked_frame(pyr, shell, exposure, need_kf)
+        self._deliver_tracked_frame(pyr, shell, exposure, need_kf,
+                                    traced, stats)
 
     # ------------------------------------------------------------------
     # initialization
@@ -395,9 +398,18 @@ class FullSystem:
         T_pred[:3, :3] = R
         return np.linalg.inv(T_pred) @ T_ref
 
-    def _track_new_coarse(self, pyr, shell, exposure):
+    def _track_new_coarse(self, image, shell, exposure):
         """Multi-hypothesis coarse tracking (trackNewCoarse,
-        FullSystem.cpp:138-309), with hypotheses batched via vmap."""
+        FullSystem.cpp:138-309), with hypotheses batched via vmap.
+
+        Phase 1 (the primary hypothesis, which covers the typical frame)
+        runs FUSED with the pyramid build, the conditional immature-point
+        trace, and the window stats — one device dispatch per steady-state
+        frame. Phases 2/3 fall back to separate batched calls.
+
+        Returns (tres, pyramid, traced, stats): `traced` says the trace
+        already ran inside the fused step; `stats` are the per-frame window
+        stats for the marginalization flags."""
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         # init affine from the LAST frame (aff_last_2_l, FullSystem.cpp:148)
         # NOTE: host-side numpy throughout — every eager device op is a
@@ -416,9 +428,9 @@ class FullSystem:
                 coarse_cutoff_th=self.settings.coarse_cutoff_th,
                 huber=self.settings.huber_th,
             )
-            # materialize ONCE: all later host logic is pure numpy (avoids
-            # per-field eager-indexing dispatches)
-            return {k: np.asarray(v) for k, v in out.items()}
+            # materialize ONCE with a single batched transfer: all later
+            # host logic is pure numpy
+            return jax.device_get(out)
 
         def pick(out, lvl=0):
             good = out["good"]
@@ -432,18 +444,35 @@ class FullSystem:
 
         achieve_th = self.last_coarse_rmse[0] * self.settings.re_track_threshold
 
-        # phase 1: the primary hypothesis alone (covers the typical frame —
-        # the reference stops after try 0 when it achieves, FullSystem.cpp:270)
-        out = run_batch(hyps[:1])
+        # phase 1: the primary hypothesis alone, fused with pyramid + trace
+        # (the reference stops after try 0 when it achieves, FullSystem.cpp:270)
+        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats = _frame_step_jit(
+            jnp.asarray(image, jnp.float32), self.ba, self.imm,
+            self.templates, jnp.asarray(hyps[0], jnp.float32),
+            jnp.asarray(ref_shell.cam_to_world, jnp.float32),
+            jnp.asarray(aff0), jnp.asarray(self.ref_aff),
+            jnp.asarray(exposures), jnp.float32(achieve_th),
+            self.settings, self.w, self.h, self.n_levels, intr)
+        # ONE batched readback for everything the host needs this frame
+        # (each separate np.asarray is a full tunnel round trip)
+        out, accept_np, T_cw_new = jax.device_get(
+            (out_j, accept_j, T_cw_new_j))
         best, achieved = pick(out)
-        if best is None or achieved >= achieve_th:
+        traced = bool(accept_np)
+        if traced:
+            self.imm = imm_new
+        # `traced` is authoritative: the device-side accept decision also
+        # selected which imm to keep, so the host must not second-guess it
+        # (f32 vs f64 boundary ties would desync pose and trace)
+        if not traced and (best is None or achieved >= achieve_th):
             # phase 2: the remaining standard hypotheses, full track
             if len(hyps) > 1:
                 out2 = run_batch(_pad_hyps(hyps[1:], 5))
                 b2, a2 = pick(out2)
                 if b2 is not None and a2 < achieved:
                     out, best, achieved = out2, b2, a2
-        if best is None or achieved >= achieve_th:
+        if not traced and (best is None or achieved >= achieve_th):
             # phase 3: rotation-perturbed restarts screened at the coarsest
             # level only (FullSystem.cpp:190), then full track on the best 2
             coarse = run_batch(perturbed, min_level=self.n_levels - 1)
@@ -459,15 +488,15 @@ class FullSystem:
             shell.pose_valid = False
             shell.cam_to_world = self.shells[-2].cam_to_world if \
                 len(self.shells) > 1 else np.eye(4)
-            return None
+            return None, pyr, False, stats
 
         T_ref_to_new = out["T"][best]
         aff = out["aff"][best]
         flow = out["flow"][best]
         residuals = out["residuals"][best]
 
-        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
-        shell.cam_to_world = ref_shell.cam_to_world @ np.linalg.inv(T_ref_to_new)
+        shell.cam_to_world = T_cw_new if traced else \
+            ref_shell.cam_to_world @ np.linalg.inv(T_ref_to_new)
         shell.aff = aff
         shell.tracking_ref = ref_shell.id
 
@@ -476,7 +505,8 @@ class FullSystem:
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = float(residuals[0])
         return dict(res=residuals, flow=flow, aff=aff,
-                    T_ref_to_new=T_ref_to_new, exposure=exposure)
+                    T_ref_to_new=T_ref_to_new, exposure=exposure), \
+            pyr, traced, stats
 
     def _keyframe_decision(self, tres, shell) -> bool:
         """Optical-flow/brightness heuristic (FullSystem.cpp:709-732)."""
@@ -497,10 +527,11 @@ class FullSystem:
     # ------------------------------------------------------------------
     # keyframe pipeline
     # ------------------------------------------------------------------
-    def _deliver_tracked_frame(self, pyr, shell, exposure, need_kf):
+    def _deliver_tracked_frame(self, pyr, shell, exposure, need_kf,
+                               traced=False, stats=None):
         if need_kf:
-            self._make_keyframe(pyr, shell, exposure)
-        else:
+            self._make_keyframe(pyr, shell, exposure, traced, stats)
+        elif not traced:
             self._trace_new_coarse(pyr, shell, exposure)
 
     def _host_to_new_transforms(self, T_cw_new):
@@ -517,12 +548,17 @@ class FullSystem:
             jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
             self.w, self.h, self.settings)
 
-    def _make_keyframe(self, pyr, shell, exposure):
+    def _make_keyframe(self, pyr, shell, exposure, traced=False,
+                        stats=None):
         import time as _time
         t0 = _time.time()
         s = self.settings
 
-        if len(self.frame_shell_idx) >= s.min_frames:
+        if traced:
+            # trace + stats already ran inside the fused frame step
+            marg_flags = self._flag_frames_for_marginalization(stats) \
+                if len(self.frame_shell_idx) >= s.min_frames else []
+        elif len(self.frame_shell_idx) >= s.min_frames:
             # fused trace + per-frame stats (one dispatch)
             self.imm, pt_in, imm_in, aff_j, T_cw_stats = _trace_stats_jit(
                 self.ba, self.imm, pyr[0],
@@ -540,62 +576,69 @@ class FullSystem:
         if slot >= self.F:
             raise RuntimeError("window overflow — marginalization failed")
         first = len(self.kf_shell_ids) == 0
-        self.ba, self.dI = _insert_frame_jit(
-            self.ba, self.dI, pyr[0],
-            jnp.asarray(shell.cam_to_world, jnp.float32),
-            jnp.asarray(shell.aff, jnp.float32),
-            jnp.asarray(exposure, jnp.float32),
-            self._prior_row(first=first), jnp.int32(slot))
+        prior_row = self._prior_row(first=first)
         self.frame_pyramids[slot] = pyr
         self.frame_shell_idx.append(self.shells.index(shell))
         self.kf_shell_ids.append(shell.id)
         shell.is_kf = True
         self.stats["n_kf"] += 1
-
-        # IMU data intake + spline propagation for the new KF
-        if s.enable_imu:
-            self._set_imu_data(slot, shell)
-            if self.imu_initialized:
-                self._propagate_imu(slot, shell)
-
-        # activate points
-        self._activate_points()
-
-        # IMU initialization at the 5th keyframe (FullSystem.cpp:841-848)
         n_kf = len(self.kf_shell_ids)
-        if s.enable_imu and n_kf == 5 and not self.imu_initialized:
-            from sos_slam_tpu.models import imu as IM
-            self.imu, ok = IM.initialize_imu(self.ba, self.imu, s)
-            if not bool(ok):
-                self.init_failed = True
-                return
-            self.imu_initialized = True
 
-        # windowed BA
+        # windowed-BA iteration budget (higher during bootstrap)
         max_its = s.max_opt_iterations
         if n_kf < 3:
             max_its = 20
         elif n_kf < 4:
             max_its = 15
-        if s.enable_imu and self.imu_initialized:
-            self.ba, self.imu, stats = E.optimize_vio(
-                self.ba, self.imu, self.dI, s, self.w, self.h,
-                max_its=max_its, min_its=s.min_opt_iterations)
-        else:
-            # fused: BA + HdiF + pose/affine extraction + tracker template
-            (self.ba, stats, self.HdiF, self.templates, self.pc_l0,
-             T_cw_j, affs_j) = _kf_core_jit(
-                self.ba, self.dI, pyr, s, self.w, self.h,
-                self.tmpl_sizes, max_its, s.min_opt_iterations)
-        rmse = float(stats["rmse"])
-        if bool(stats["is_lost"]):
-            self.is_lost = True
-            return
-        if (n_kf == 2 and rmse > 25) or (n_kf == 3 and rmse > 15) or \
-                (n_kf == 4 and rmse > 10):
-            self.init_failed = True
-            return
 
+        if not s.enable_imu:
+            # pure vision: insert + activation + BA core in ONE dispatch
+            (self.ba, self.imm, self.dI, self.current_min_act_dist, stats,
+             self.HdiF, self.templates, self.pc_l0, T_cw_j, affs_j) = \
+                _kf_mega_jit(
+                    self.ba, self.imm, self.dI, pyr,
+                    jnp.asarray(shell.cam_to_world, jnp.float32),
+                    jnp.asarray(shell.aff, jnp.float32),
+                    jnp.asarray(exposure, jnp.float32), prior_row,
+                    jnp.int32(slot),
+                    jnp.asarray(self.current_min_act_dist, jnp.float32),
+                    self.tmpl_sizes, max_its, s.min_opt_iterations,
+                    s, self.w, self.h)
+        else:
+            self.ba, self.dI = _insert_frame_jit(
+                self.ba, self.dI, pyr[0],
+                jnp.asarray(shell.cam_to_world, jnp.float32),
+                jnp.asarray(shell.aff, jnp.float32),
+                jnp.asarray(exposure, jnp.float32),
+                prior_row, jnp.int32(slot))
+
+            # IMU data intake + spline propagation for the new KF
+            self._set_imu_data(slot, shell)
+            if self.imu_initialized:
+                self._propagate_imu(slot, shell)
+
+            # activate points
+            self._activate_points()
+
+            # IMU initialization at the 5th keyframe (FullSystem.cpp:841-848)
+            if n_kf == 5 and not self.imu_initialized:
+                from sos_slam_tpu.models import imu as IM
+                self.imu, ok = IM.initialize_imu(self.ba, self.imu, s)
+                if not bool(ok):
+                    self.init_failed = True
+                    return
+                self.imu_initialized = True
+
+            # windowed BA
+            if self.imu_initialized:
+                self.ba, self.imu, stats = E.optimize_vio(
+                    self.ba, self.imu, self.dI, s, self.w, self.h,
+                    max_its=max_its, min_its=s.min_opt_iterations)
+            else:
+                (self.ba, stats, self.HdiF, self.templates, self.pc_l0,
+                 T_cw_j, affs_j) = _kf_core_jit(
+                    self.ba, self.dI, pyr, s, self.w, self.h,
+                    self.tmpl_sizes, max_its, s.min_opt_iterations)
         if s.enable_imu and self.imu_initialized:
             # VIO path computes HdiF/template separately (rare mode join)
             self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
@@ -605,9 +648,17 @@ class FullSystem:
             T_cw_j = B.state_to_pose(self.ba.T_cw_eval, self.ba.state)
             affs_j = B.aff_real(self.ba.state)
 
-        # write back optimized poses to shells
-        T_cw = np.asarray(T_cw_j)
-        affs = np.asarray(affs_j)
+        # ONE batched readback: BA stats + optimized poses + affines
+        stats, T_cw, affs = jax.device_get((stats, T_cw_j, affs_j))
+        rmse = float(stats["rmse"])
+        if bool(stats["is_lost"]):
+            self.is_lost = True
+            return
+        if (n_kf == 2 and rmse > 25) or (n_kf == 3 and rmse > 15) or \
+                (n_kf == 4 and rmse > 10):
+            self.init_failed = True
+            return
+
         for i, sh_idx in enumerate(self.frame_shell_idx):
             self.shells[sh_idx].cam_to_world = T_cw[i]
             self.shells[sh_idx].aff = affs[i]
@@ -637,8 +688,12 @@ class FullSystem:
                 if not s.enable_scale_opt else self.current_scale
         self._update_scaled_poses()
 
-        # flag points for removal / marginalization
-        self._flag_and_marginalize_points(marg_flags)
+        # flag points for removal / marginalization (pure vision: fused
+        # with the new-trace selection — one dispatch)
+        if not s.enable_imu:
+            self._flag_marg_and_new_traces(marg_flags, pyr, slot)
+        else:
+            self._flag_and_marginalize_points(marg_flags)
 
         # publishers: non-final keyframe + depth visualization
         if self.output_wrappers:
@@ -652,8 +707,10 @@ class FullSystem:
                 ow.publish_keyframes(dict(shell=shell), final=False)
                 ow.push_depth_image(img0, idmap)
 
-        # new immature points on the new KF
-        self._make_new_traces(pyr, slot)
+        # new immature points on the new KF (pure vision: already done in
+        # the fused marg+select call above)
+        if s.enable_imu:
+            self._make_new_traces(pyr, slot)
 
         # marginalize flagged frames
         self._marginalize_frames(marg_flags)
@@ -763,11 +820,8 @@ class FullSystem:
         # in = active + immature points, out = cumulative deaths per host
         if stats is None:
             stats = _frame_stats_jit(self.ba, self.imm)
-        pt_in_j, imm_in_j, aff_j, T_cw_j = stats
-        pt_in = np.asarray(pt_in_j)
-        imm_in = np.asarray(imm_in_j)
-        aff = np.asarray(aff_j)
-        exp = np.asarray(self.ba.exposure)
+        pt_in, imm_in, aff, T_cw_j, exp = jax.device_get(
+            (*stats, self.ba.exposure))
         for i in range(n):
             n_in = pt_in[i] + imm_in[i]
             n_out = self.host_out[i]
@@ -778,7 +832,7 @@ class FullSystem:
                 flags.append(i)
         if n + 1 - len(flags) >= s.max_frames:
             # drop the frame with the smallest pairwise-distance score
-            T_cw = np.asarray(T_cw_j)
+            T_cw = T_cw_j
             best_score, best_i = 1.0, None
             for i in range(n - 1):
                 if i == 0 and len(self.kf_shell_ids) <= s.max_frames:
@@ -808,6 +862,56 @@ class FullSystem:
             self.ba, self.imm, self.dI,
             jnp.asarray(self.current_min_act_dist, jnp.float32),
             self.w, self.h, self.settings)
+
+
+    def _flag_marg_and_new_traces(self, frame_marg_flags, pyr, slot):
+        """Pure-vision path: flagPointsForRemoval + marginalizePointsF +
+        dropPointsF + makeNewTraces fused into one dispatch, with the
+        selector potential adapted on the returned pre-subsample count."""
+        s = self.settings
+        ba = self.ba
+        flagged_hosts = np.zeros(self.F, bool)
+        for k in frame_marg_flags:
+            flagged_hosts[k] = True
+        density = float(s.desired_immature_density)
+        pot = getattr(self, "_sel_pot", 3)
+        n_slots = min(s.max_immature, self.imm.u.shape[0])
+        self.key, k2 = jax.random.split(self.key)
+        self.ba, imm_new, marg, died, n_have_j = _marg_select_jit(
+            ba, self.imm, self.dI, self.HdiF, jnp.asarray(flagged_hosts),
+            pyr[0], jnp.int32(slot), k2, jnp.float32(density), s,
+            self.w, self.h, pot, n_slots)
+        # ONE batched readback (incl. the pre-marg point arrays for the
+        # loop-closure cache, which `ba` still holds)
+        marg_np, died, n_have, b_host, b_u, b_v, b_id = jax.device_get(
+            (marg, died, n_have_j, ba.host, ba.u, ba.v, ba.idepth))
+        self.host_out += died
+
+        # cache marginalized points per host for the loop-closure export
+        if marg_np.any():
+            for hh, uu, vv, ii in zip(b_host[marg_np], b_u[marg_np],
+                                      b_v[marg_np], b_id[marg_np]):
+                self._marg_pts_cache[int(hh)].append((uu, vv, ii))
+
+        # selector potential adaptation (PixelSelector2.cpp K-model);
+        # re-select within this KF only when the density is far off
+        n_have = int(n_have)
+        quotia = density / max(n_have, 1)
+        K = n_have * (pot + 1) ** 2
+        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
+        redo = None
+        if quotia > 1.25 and pot > 1:
+            redo = selector._snap_pot(min(ideal, pot - 1))
+        elif quotia < 0.25:
+            redo = selector._snap_pot(max(ideal, pot + 1))
+        if redo is not None and redo != pot:
+            pot = redo
+            self.key, k2 = jax.random.split(self.key)
+            imm_new, _ = _select_insert_jit(
+                self.imm, pyr[0], jnp.int32(slot), k2, jnp.float32(density),
+                s, pot, n_slots)
+        self._sel_pot = pot
+        self.imm = imm_new
 
     def _flag_and_marginalize_points(self, frame_marg_flags):
         """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
@@ -896,6 +1000,7 @@ class FullSystem:
                 self.ba, self.imm, self.dI, e_col, n_col = _marg_frame_jit(
                     self.ba, self.imm, self.dI, jnp.int32(k), self.settings,
                     self.w, self.h)
+                e_col, n_col = jax.device_get((e_col, n_col))
                 kf_record = self._export_kf(k, float(e_col), float(n_col))
             self.frame_pyramids = (self.frame_pyramids[:k]
                                    + self.frame_pyramids[k + 1:] + [None])
@@ -932,13 +1037,13 @@ class FullSystem:
             pts_uvdi = pts.copy()
             pts_uvdi[:, 2] = pts[:, 2] / scale    # idepth -> metric
             inten = np.zeros((len(pts), self.n_levels), np.float32)
+            pyr_np = jax.device_get(pyramid)   # one batched transfer
             for lvl in range(self.n_levels):
                 u = (pts[:, 0] + 0.5) / (1 << lvl) - 0.5
                 v = (pts[:, 1] + 0.5) / (1 << lvl) - 0.5
                 # host-side numpy sampling: the point count varies per
                 # export, so an eager device interp would recompile each time
-                img = np.asarray(pyramid[lvl])[:, :, 0]
-                inten[:, lvl] = _np_bilinear(img, u, v)
+                inten[:, lvl] = _np_bilinear(pyr_np[lvl][:, :, 0], u, v)
         else:
             pts_uvdi = np.zeros((0, 3), np.float32)
             inten = np.zeros((0, self.n_levels), np.float32)
@@ -1136,6 +1241,60 @@ def _pre_marg_jit(ba, imm, k):
     )
     return ba, imm
 
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "sizes"))
+def _kf_mega_jit(ba, imm, dI, pyr, T_cw, aff, exposure, prior_row, slot,
+                 min_act_dist, sizes, max_its, min_its, settings, w, h):
+    """Pure-vision keyframe mega-step — ONE dispatch: frame insertion +
+    image store + point activation (with traced density adaptation) +
+    windowed BA + HdiF + tracker-template rebuild + pose extraction."""
+    ba = WIN.insert_frame(ba, T_cw, aff, exposure, prior_row)
+    dI = dI.at[slot].set(pyr[0])
+    ba, imm, min_act_dist = _activate_jit(ba, imm, dI, min_act_dist,
+                                          w, h, settings)
+    ba, stats, HdiF, templates, pc_l0, T_cw_all, affs = _kf_core_jit(
+        ba, dI, pyr, settings, w, h, sizes, max_its, min_its)
+    return (ba, imm, dI, min_act_dist, stats, HdiF, templates, pc_l0,
+            T_cw_all, affs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "w", "h", "pot", "n_slots"))
+def _marg_select_jit(ba, imm, dI, HdiF, flagged_hosts, dI0, slot, key,
+                     density, settings, w, h, pot, n_slots):
+    """Fused point marginalization + makeNewTraces selection — one
+    dispatch (the two are independent; fused purely to save a round trip)."""
+    ba, marg, died = _marg_points_jit(ba, dI, HdiF, flagged_hosts,
+                                      settings, w, h)
+    imm, n_have = _select_insert_jit(imm, dI0, slot, key, density,
+                                     settings, pot, n_slots)
+    return ba, imm, marg, died, n_have
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "w", "h", "n_levels", "intr"))
+def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
+                    ref_aff, exposures, achieve_th, settings, w, h,
+                    n_levels, intr):
+    """Fused steady-state frame step — ONE dispatch for the typical frame:
+    pyramid build + primary-hypothesis coarse track (trackNewCoarse try 0,
+    FullSystem.cpp:270) + conditional immature-point trace (traceNewCoarse,
+    FullSystem.cpp:311-361, applied only if the track achieves) + per-frame
+    window stats for the marginalization flags."""
+    pyr, _ = build_pyramid(image, n_levels)
+    out = TK.track_hypotheses(
+        pyr, templates, T_primary[None], aff0, ref_aff, exposures, intr,
+        n_levels, coarse_cutoff_th=settings.coarse_cutoff_th,
+        huber=settings.huber_th)
+    res0 = out["residuals"][0, 0]
+    accept = out["good"][0] & jnp.isfinite(res0) & (res0 < achieve_th)
+    T_cw_new = T_cw_ref @ jnp.linalg.inv(out["T"][0])
+    imm_traced = _trace_jit(ba, imm, pyr[0], T_cw_new, out["aff"][0],
+                            exposures[1], w, h, settings)
+    imm = jax.tree.map(lambda a, b: jnp.where(accept, a, b), imm_traced, imm)
+    stats = _frame_stats_jit(ba, imm)
+    return pyr, out, imm, accept, T_cw_new, stats
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "settings"))
