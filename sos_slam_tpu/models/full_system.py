@@ -592,18 +592,10 @@ class FullSystem:
             max_its = 15
 
         if not s.enable_imu:
-            # pure vision: insert + activation + BA core in ONE dispatch
-            (self.ba, self.imm, self.dI, self.current_min_act_dist, stats,
-             self.HdiF, self.templates, self.pc_l0, T_cw_j, affs_j) = \
-                _kf_mega_jit(
-                    self.ba, self.imm, self.dI, pyr,
-                    jnp.asarray(shell.cam_to_world, jnp.float32),
-                    jnp.asarray(shell.aff, jnp.float32),
-                    jnp.asarray(exposure, jnp.float32), prior_row,
-                    jnp.int32(slot),
-                    jnp.asarray(self.current_min_act_dist, jnp.float32),
-                    self.tmpl_sizes, max_its, s.min_opt_iterations,
-                    s, self.w, self.h)
+            self._kf_finish_vision(pyr, shell, exposure, prior_row, slot,
+                                   n_kf, max_its, marg_flags)
+            self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
+            return
         else:
             self.ba, self.dI = _insert_frame_jit(
                 self.ba, self.dI, pyr[0],
@@ -639,7 +631,7 @@ class FullSystem:
                  T_cw_j, affs_j) = _kf_core_jit(
                     self.ba, self.dI, pyr, s, self.w, self.h,
                     self.tmpl_sizes, max_its, s.min_opt_iterations)
-        if s.enable_imu and self.imu_initialized:
+        if self.imu_initialized:
             # VIO path computes HdiF/template separately (rare mode join)
             self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
             self.templates, self.pc_l0 = WIN.build_track_template(
@@ -672,7 +664,7 @@ class FullSystem:
             self._optimize_scale(shell)
 
         # IMU post-BA bookkeeping: scale trapping + FEJ reset at init KF
-        if s.enable_imu and self.imu_initialized:
+        if self.imu_initialized:
             from sos_slam_tpu.models import imu as IM
             if n_kf == 5:
                 self.imu = self.imu._replace(state_zero=self.imu.state)
@@ -688,12 +680,8 @@ class FullSystem:
                 if not s.enable_scale_opt else self.current_scale
         self._update_scaled_poses()
 
-        # flag points for removal / marginalization (pure vision: fused
-        # with the new-trace selection — one dispatch)
-        if not s.enable_imu:
-            self._flag_marg_and_new_traces(marg_flags, pyr, slot)
-        else:
-            self._flag_and_marginalize_points(marg_flags)
+        # flag points for removal / marginalization
+        self._flag_and_marginalize_points(marg_flags)
 
         # publishers: non-final keyframe + depth visualization
         if self.output_wrappers:
@@ -707,15 +695,147 @@ class FullSystem:
                 ow.publish_keyframes(dict(shell=shell), final=False)
                 ow.push_depth_image(img0, idmap)
 
-        # new immature points on the new KF (pure vision: already done in
-        # the fused marg+select call above)
-        if s.enable_imu:
-            self._make_new_traces(pyr, slot)
+        # new immature points on the new KF
+        self._make_new_traces(pyr, slot)
 
         # marginalize flagged frames
         self._marginalize_frames(marg_flags)
 
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
+
+
+    def _kf_finish_vision(self, pyr, shell, exposure, prior_row, slot,
+                          n_kf, max_its, marg_flags):
+        """Pure-vision keyframe finish: dispatch EVERY device program first
+        (mega BA step, point-marg + selection, frame marginalizations — the
+        device executes them in order with no host sync between), then do
+        ONE batched readback and run all host bookkeeping on numpy.
+
+        On the tunneled-TPU path each host sync costs a full round trip, so
+        the KF path has exactly one."""
+        s = self.settings
+
+        # --- dispatch phase (no host syncs) ---
+        (self.ba, self.imm, self.dI, self.current_min_act_dist, stats,
+         self.HdiF, self.templates, self.pc_l0, T_cw_j, affs_j) = \
+            _kf_mega_jit(
+                self.ba, self.imm, self.dI, pyr,
+                jnp.asarray(shell.cam_to_world, jnp.float32),
+                jnp.asarray(shell.aff, jnp.float32),
+                jnp.asarray(exposure, jnp.float32), prior_row,
+                jnp.int32(slot),
+                jnp.asarray(self.current_min_act_dist, jnp.float32),
+                self.tmpl_sizes, max_its, s.min_opt_iterations,
+                s, self.w, self.h)
+
+        flagged_hosts = np.zeros(self.F, bool)
+        for k in marg_flags:
+            flagged_hosts[k] = True
+        density = float(s.desired_immature_density)
+        pot = getattr(self, "_sel_pot", 3)
+        n_slots = min(s.max_immature, self.imm.u.shape[0])
+        ba_pre_marg = self.ba        # pre-marg arrays for the loop cache
+        imm_pre_select = self.imm    # for the rare pot-retry re-selection
+        self.key, k2 = jax.random.split(self.key)
+        self.ba, self.imm, marg_j, died_j, n_have_j = _marg_select_jit(
+            ba_pre_marg, imm_pre_select, self.dI, self.HdiF,
+            jnp.asarray(flagged_hosts), pyr[0], jnp.int32(slot), k2,
+            jnp.float32(density), s, self.w, self.h, pot, n_slots)
+
+        ecols = []
+        for k in sorted(marg_flags, reverse=True):
+            self.ba, self.imm, self.dI, e_col, n_col = _marg_frame_jit(
+                self.ba, self.imm, self.dI, jnp.int32(k), s, self.w, self.h)
+            ecols.append((k, e_col, n_col))
+
+        # --- single batched readback ---
+        (stats, T_cw, affs, marg_np, died, n_have, ecols_np, b_host, b_u,
+         b_v, b_id) = jax.device_get(
+            (stats, T_cw_j, affs_j, marg_j, died_j, n_have_j,
+             [(e, n) for _, e, n in ecols],
+             ba_pre_marg.host, ba_pre_marg.u, ba_pre_marg.v,
+             ba_pre_marg.idepth))
+
+        # --- host finish (numpy only) ---
+        rmse = float(stats["rmse"])
+        if bool(stats["is_lost"]):
+            self.is_lost = True
+            return
+        if (n_kf == 2 and rmse > 25) or (n_kf == 3 and rmse > 15) or \
+                (n_kf == 4 and rmse > 10):
+            self.init_failed = True
+            return
+
+        for i, sh_idx in enumerate(self.frame_shell_idx):
+            self.shells[sh_idx].cam_to_world = T_cw[i]
+            self.shells[sh_idx].aff = affs[i]
+        self.ref_slot = len(self.frame_shell_idx) - 1
+        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        self.ref_exposure = exposure
+
+        # stereo scale optimization (optimizeScale, FullSystem.cpp:1117-1180)
+        if s.enable_scale_opt:
+            self._optimize_scale(shell)
+        self._update_scaled_poses()
+
+        # point-marginalization bookkeeping + loop-closure cache
+        self.host_out += died
+        if marg_np.any():
+            for hh, uu, vv, ii in zip(b_host[marg_np], b_u[marg_np],
+                                      b_v[marg_np], b_id[marg_np]):
+                self._marg_pts_cache[int(hh)].append((uu, vv, ii))
+
+        # selector potential adaptation (PixelSelector2.cpp K-model); the
+        # same-KF re-selection runs only when no frame is being marginalized
+        # (afterwards the immature host indices have already been remapped)
+        n_have = int(n_have)
+        quotia = density / max(n_have, 1)
+        K = n_have * (pot + 1) ** 2
+        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
+        redo = None
+        if quotia > 1.25 and pot > 1:
+            redo = selector._snap_pot(min(ideal, pot - 1))
+        elif quotia < 0.25:
+            redo = selector._snap_pot(max(ideal, pot + 1))
+        if redo is not None and redo != pot:
+            pot = redo
+            if not marg_flags:
+                self.key, k2 = jax.random.split(self.key)
+                self.imm, _ = _select_insert_jit(
+                    imm_pre_select, pyr[0], jnp.int32(slot), k2,
+                    jnp.float32(density), s, pot, n_slots)
+        self._sel_pot = pot
+
+        # publishers: non-final keyframe + depth visualization
+        if self.output_wrappers:
+            u_t, v_t, id_t, ok_t = jax.device_get(self.pc_l0)
+            idmap = np.zeros((self.h, self.w), np.float32)
+            sel_ok = ok_t.astype(bool)
+            idmap[v_t[sel_ok].astype(int), u_t[sel_ok].astype(int)] = \
+                id_t[sel_ok]
+            img0 = np.asarray(pyr[0][..., 0])
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(dict(shell=shell), final=False)
+                ow.push_depth_image(img0, idmap)
+
+        # frame-marginalization host bookkeeping (device work already done)
+        for (k, _, _), (e_col, n_col) in zip(ecols, ecols_np):
+            sh_idx = self.frame_shell_idx[k]
+            self.shells[sh_idx].marginalized_at = len(self.shells)
+            kf_record = self._export_kf(k, float(e_col), float(n_col))
+            self.frame_pyramids = (self.frame_pyramids[:k]
+                                   + self.frame_pyramids[k + 1:] + [None])
+            del self.frame_shell_idx[k]
+            self.host_out[k:-1] = self.host_out[k + 1:]
+            self.host_out[-1] = 0
+            del self._marg_pts_cache[k]
+            self._marg_pts_cache.append([])
+            if self.ref_slot > k:
+                self.ref_slot -= 1
+            for cb in self.marg_callbacks:
+                cb(kf_record)
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(kf_record, final=True)
 
     # ------------------------------------------------------------------
     def _set_imu_data(self, slot: int, shell):
@@ -1029,6 +1149,15 @@ class FullSystem:
             self._last_dso_error = dso_error
         else:
             dso_error = 10.0 * self._last_dso_error
+
+        if not (self.marg_callbacks or self.output_wrappers):
+            # nobody consumes the record: skip the pyramid transfer and
+            # the point sampling (they are the expensive parts)
+            return dict(shell=sh, slot=k,
+                        pts_uvdi=np.zeros((0, 3), np.float32),
+                        intensities=np.zeros((0, self.n_levels), np.float32),
+                        pyramid=None, dso_error=dso_error,
+                        scale_error=sh.scale_error)
 
         pts = np.array(self._marg_pts_cache[k], np.float32).reshape(-1, 3)
         scale = max(sh.scale, 1e-9)

