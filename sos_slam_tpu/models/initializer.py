@@ -21,6 +21,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sos_slam_tpu.ops import selector
 from sos_slam_tpu.ops.image import interp_bilinear
@@ -456,25 +457,46 @@ def reset_points_coarsest(lv: InitLevel) -> InitLevel:
 
 def track_frame(state: InitState, pyr_first, pyr_new, calib: CalibPyramid,
                 settings: Settings, exposures=(1.0, 1.0)):
-    """One initializer frame (CoarseInitializer::trackFrame). Host-level
-    orchestration over jitted per-level loops. Returns (state, done)."""
-    n_levels = calib.levels
+    """One initializer frame (CoarseInitializer::trackFrame): the full
+    level cascade runs as ONE fused device program (per-level loops and
+    propagation statically unrolled); the host reads back a single done
+    flag. Returns (state, done)."""
+    aff_override = None
+    if exposures[0] > 0 and exposures[1] > 0:
+        aff_override = np.array(
+            [np.log(exposures[1] / exposures[0]), 0.0], np.float32)
+    aff = state.aff if aff_override is None else jnp.asarray(aff_override)
+
+    intr = tuple(calib.intrinsics(l) for l in range(calib.levels))
+    state, done = _init_step_jit(
+        state._replace(aff=aff), tuple(pyr_first), tuple(pyr_new),
+        intr, tuple(calib.widths), tuple(calib.heights), settings)
+    return state, bool(done)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "widths", "heights",
+                                             "settings"))
+def _init_step_jit(state: InitState, pyr_first, pyr_new, intr, widths,
+                   heights, settings):
+    """Fused CoarseInitializer::trackFrame: pre-snap reset + the
+    coarse-to-fine level cascade + upward propagation + snap bookkeeping
+    in one device dispatch (the bootstrap was ~12 dispatches/frame)."""
+    n_levels = len(pyr_first)
     levels = list(state.levels)
 
     # if not yet snapped: reset idepths to 1 and zero translation
-    if not bool(state.snapped):
-        T = state.T.at[:3, 3].set(0.0)
-        levels = [
-            lv._replace(iR=jnp.ones_like(lv.iR),
-                        idepth=jnp.ones_like(lv.idepth),
-                        last_hessian=jnp.zeros_like(lv.last_hessian))
-            for lv in levels
-        ]
-    else:
-        T = state.T
+    reset = ~state.snapped
+    T = jnp.where(reset, state.T.at[:3, 3].set(0.0), state.T)
+    levels = [
+        lv._replace(
+            iR=jnp.where(reset, jnp.ones_like(lv.iR), lv.iR),
+            idepth=jnp.where(reset, jnp.ones_like(lv.idepth), lv.idepth),
+            last_hessian=jnp.where(reset, jnp.zeros_like(lv.last_hessian),
+                                   lv.last_hessian),
+        )
+        for lv in levels
+    ]
     aff = state.aff
-    if exposures[0] > 0 and exposures[1] > 0:
-        aff = jnp.array([jnp.log(exposures[1] / exposures[0]), 0.0])
 
     snapped = state.snapped
     snap_any = jnp.array(False)
@@ -485,10 +507,9 @@ def track_frame(state: InitState, pyr_first, pyr_new, calib: CalibPyramid,
         else:
             lv = reset_points_coarsest(lv)
         max_its = MAX_ITS[min(lvl, len(MAX_ITS) - 1)]
-        lv, T, aff, snap = jit_track_level(
-            lv, pyr_first[lvl], pyr_new[lvl], calib.intrinsics(lvl),
-            calib.widths[lvl], calib.heights[lvl], T, aff, snapped, max_its,
-            settings,
+        lv, T, aff, snap = track_level(
+            lv, pyr_first[lvl], pyr_new[lvl], intr[lvl],
+            widths[lvl], heights[lvl], T, aff, snapped, max_its, settings,
         )
         snap_any |= snap
         levels[lvl] = lv
@@ -502,9 +523,10 @@ def track_frame(state: InitState, pyr_first, pyr_new, calib: CalibPyramid,
         snapped & (state.snapped_at == 0), frame_id, state.snapped_at
     )
     snapped_at = jnp.where(snapped, snapped_at, 0)
-    done = bool(snapped) and int(frame_id) > int(snapped_at) + 5
+    done = snapped & (frame_id > snapped_at + 5)
 
-    return InitState(tuple(levels), T, aff, snapped, frame_id, snapped_at), done
+    return InitState(tuple(levels), T, aff, snapped, frame_id,
+                     snapped_at), done
 
 
 @functools.partial(jax.jit,
