@@ -984,55 +984,6 @@ class FullSystem:
             self.w, self.h, self.settings)
 
 
-    def _flag_marg_and_new_traces(self, frame_marg_flags, pyr, slot):
-        """Pure-vision path: flagPointsForRemoval + marginalizePointsF +
-        dropPointsF + makeNewTraces fused into one dispatch, with the
-        selector potential adapted on the returned pre-subsample count."""
-        s = self.settings
-        ba = self.ba
-        flagged_hosts = np.zeros(self.F, bool)
-        for k in frame_marg_flags:
-            flagged_hosts[k] = True
-        density = float(s.desired_immature_density)
-        pot = getattr(self, "_sel_pot", 3)
-        n_slots = min(s.max_immature, self.imm.u.shape[0])
-        self.key, k2 = jax.random.split(self.key)
-        self.ba, imm_new, marg, died, n_have_j = _marg_select_jit(
-            ba, self.imm, self.dI, self.HdiF, jnp.asarray(flagged_hosts),
-            pyr[0], jnp.int32(slot), k2, jnp.float32(density), s,
-            self.w, self.h, pot, n_slots)
-        # ONE batched readback (incl. the pre-marg point arrays for the
-        # loop-closure cache, which `ba` still holds)
-        marg_np, died, n_have, b_host, b_u, b_v, b_id = jax.device_get(
-            (marg, died, n_have_j, ba.host, ba.u, ba.v, ba.idepth))
-        self.host_out += died
-
-        # cache marginalized points per host for the loop-closure export
-        if marg_np.any():
-            for hh, uu, vv, ii in zip(b_host[marg_np], b_u[marg_np],
-                                      b_v[marg_np], b_id[marg_np]):
-                self._marg_pts_cache[int(hh)].append((uu, vv, ii))
-
-        # selector potential adaptation (PixelSelector2.cpp K-model);
-        # re-select within this KF only when the density is far off
-        n_have = int(n_have)
-        quotia = density / max(n_have, 1)
-        K = n_have * (pot + 1) ** 2
-        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
-        redo = None
-        if quotia > 1.25 and pot > 1:
-            redo = selector._snap_pot(min(ideal, pot - 1))
-        elif quotia < 0.25:
-            redo = selector._snap_pot(max(ideal, pot + 1))
-        if redo is not None and redo != pot:
-            pot = redo
-            self.key, k2 = jax.random.split(self.key)
-            imm_new, _ = _select_insert_jit(
-                self.imm, pyr[0], jnp.int32(slot), k2, jnp.float32(density),
-                s, pot, n_slots)
-        self._sel_pot = pot
-        self.imm = imm_new
-
     def _flag_and_marginalize_points(self, frame_marg_flags):
         """flagPointsForRemoval + dropPointsF + marginalizePointsF."""
         s = self.settings

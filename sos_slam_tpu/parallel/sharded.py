@@ -81,3 +81,22 @@ def sharded_track(mesh: Mesh, pyramid_new, templates, T_inits, aff0, ref_aff,
     return TK.track_hypotheses(
         pyramid_new, templates, T_inits, aff0, ref_aff, exposures,
         intrinsics, n_levels, **kw)
+
+
+# ImmatureState leaves all carry a leading point axis (shardable on "dp")
+def imm_shardings(mesh: Mesh, imm) -> object:
+    shard = NamedSharding(mesh, P("dp"))
+    return type(imm)(**{f: shard for f in imm._fields})
+
+
+def sharded_trace(mesh: Mesh, ba: B.BAState, imm, dI0_new, T_cw_new, aff_new,
+                  exposure_new, w: int, h: int, settings):
+    """Epipolar trace of the immature pool sharded over the mesh: each chip
+    traces a slice of the points against the (replicated) new frame — zero
+    communication, like the reference's IndexThreadReduce over point ranges
+    (util/IndexThreadReduce.h)."""
+    from sos_slam_tpu.models import full_system as FSM
+    imm = jax.device_put(imm, imm_shardings(mesh, imm))
+    dI0_new = jax.device_put(dI0_new, NamedSharding(mesh, P()))
+    return FSM._trace_jit(ba, imm, dI0_new, T_cw_new, aff_new,
+                          exposure_new, w, h, settings)
