@@ -127,6 +127,15 @@ def trace_points(
     settings: Settings,
 ) -> ImmatureState:
     """Batched traceOn of every immature point onto the new frame."""
+    # static guard: the discrete sweep must cover the longest possible
+    # epipolar segment ((w+h)*max_pix_search px at trace_stepsize)
+    need = int(2 + (w + h) * settings.max_pix_search
+               / max(settings.trace_stepsize, 1e-6)) + 1
+    if need > MAX_STEPS:
+        raise ValueError(
+            f"MAX_STEPS={MAX_STEPS} cannot cover the epipolar search "
+            f"({need} steps needed for {w}x{h} at max_pix_search="
+            f"{settings.max_pix_search}); raise trace.MAX_STEPS")
     N = imm.u.shape[0]
     pat = jnp.asarray(PATTERN_OFFSETS)
     max_pix_search = (w + h) * settings.max_pix_search
