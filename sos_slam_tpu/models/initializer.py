@@ -133,6 +133,12 @@ def set_first(pyr, absgrads, calib: CalibPyramid, settings: Settings,
         n_slots = level_slots(calib, lvl)
         density = DENSITIES[min(lvl, len(DENSITIES) - 1)] * calib.widths[0] * calib.heights[0]
         if lvl == 0:
+            if len(absgrads) < 3:
+                # the selector always wants 3 gradient octaves
+                # (PixelSelector2 uses absSquaredGrad[0..2] regardless of
+                # the calib pyramid depth) — rebuild them from level 0
+                from sos_slam_tpu.ops.image import build_pyramid
+                _, absgrads = build_pyramid(pyr[0][..., 0], 3)
             status, _, _ = selector.make_maps(
                 pyr[0], absgrads, settings, density, key, recursions=1,
                 th_factor=2.0)

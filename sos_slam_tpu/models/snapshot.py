@@ -52,6 +52,7 @@ def save_snapshot(fs: FullSystem, path: str) -> None:
         kf_shell_ids=fs.kf_shell_ids,
         host_out=fs.host_out.tolist(),
         current_min_act_dist=float(fs.current_min_act_dist),
+        sel_pot=int(getattr(fs, "_sel_pot", 3)),
         current_scale=fs.current_scale,
         scale_trapped=fs.scale_trapped,
         scale_opt_fails=fs.scale_opt_fails,
@@ -103,6 +104,7 @@ def load_snapshot(fs: FullSystem, path: str) -> FullSystem:
     fs.kf_shell_ids = host["kf_shell_ids"]
     fs.host_out = np.asarray(host["host_out"], np.int64)
     fs.current_min_act_dist = host["current_min_act_dist"]
+    fs._sel_pot = int(host.get("sel_pot", 3))
     fs.current_scale = host["current_scale"]
     fs.scale_trapped = host["scale_trapped"]
     fs.scale_opt_fails = host["scale_opt_fails"]

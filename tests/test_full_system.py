@@ -84,3 +84,37 @@ def test_window_invariants(run_sequence):
     # HM finite and symmetric
     HM = np.asarray(fs.ba.HM)
     assert np.isfinite(HM).all()
+
+
+def test_simultaneous_double_marginalization():
+    """Two frames flagged in one keyframe must marginalize cleanly through
+    the async vision finish (chained _marg_frame_jit dispatches + host
+    bookkeeping shifts, FullSystemMarginalize.cpp:54-141 analog)."""
+    calib = synthetic.default_calib(160, 120)
+    fs = FullSystem(calib, default_settings())
+    imgs, _, _ = synthetic.make_sequence(
+        calib, 30, jnp.array([0.05, 0.015, 0.025, 0.002, 0.006, 0.002]),
+        plane_z=2.0)
+
+    orig = fs._flag_frames_for_marginalization
+    forced = {"done": False}
+
+    def patched(stats=None):
+        flags = orig(stats)
+        if not forced["done"] and len(fs.frame_shell_idx) >= 6:
+            forced["done"] = True
+            return sorted(set(flags) | {1, 3})
+        return flags
+
+    fs._flag_frames_for_marginalization = patched
+
+    for i in range(30):
+        fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
+        assert not (fs.is_lost or fs.init_failed), f"lost at frame {i}"
+        assert len(fs._marg_pts_cache) == fs.F
+        assert (fs.host_out >= 0).all()
+        for slot, sh_idx in enumerate(fs.frame_shell_idx):
+            assert fs.shells[sh_idx].is_kf
+            assert fs.frame_pyramids[slot] is not None
+    assert forced["done"], "double-marg was never triggered"
+    assert np.isfinite(fs.trajectory()).all()
