@@ -621,24 +621,17 @@ class FullSystem:
                     return
                 self.imu_initialized = True
 
-            # windowed BA
+            # windowed BA (VIO: the full solve chain in one dispatch)
             if self.imu_initialized:
-                self.ba, self.imu, stats = E.optimize_vio(
-                    self.ba, self.imu, self.dI, s, self.w, self.h,
-                    max_its=max_its, min_its=s.min_opt_iterations)
+                (self.ba, self.imu, stats, self.HdiF, self.templates,
+                 self.pc_l0, T_cw_j, affs_j) = _kf_core_vio_jit(
+                    self.ba, self.imu, self.dI, pyr, s, self.w, self.h,
+                    self.tmpl_sizes, max_its, s.min_opt_iterations)
             else:
                 (self.ba, stats, self.HdiF, self.templates, self.pc_l0,
                  T_cw_j, affs_j) = _kf_core_jit(
                     self.ba, self.dI, pyr, s, self.w, self.h,
                     self.tmpl_sizes, max_its, s.min_opt_iterations)
-        if self.imu_initialized:
-            # VIO path computes HdiF/template separately (rare mode join)
-            self.HdiF = _hdif_jit(self.ba, self.dI, s, self.w, self.h)
-            self.templates, self.pc_l0 = WIN.build_track_template(
-                self.ba, self.HdiF, pyr, self.n_levels, self.tmpl_sizes,
-                self.w, self.h)
-            T_cw_j = B.state_to_pose(self.ba.T_cw_eval, self.ba.state)
-            affs_j = B.aff_real(self.ba.state)
 
         # ONE batched readback: BA stats + optimized poses + affines
         stats, T_cw, affs = jax.device_get((stats, T_cw_j, affs_j))
@@ -854,19 +847,17 @@ class FullSystem:
             gyro[i] = g
             ts[i] = t - shell.timestamp
         valid = np.arange(IM.N_IMU) < n
-        self.imu = self.imu._replace(
-            acc=self.imu.acc.at[slot].set(acc),
-            gyro=self.imu.gyro.at[slot].set(gyro),
-            ts=self.imu.ts.at[slot].set(ts),
-            imu_valid=self.imu.imu_valid.at[slot].set(valid),
-            timestamps=self.imu.timestamps.at[slot].set(shell.timestamp),
-        )
-        # spline validity: consecutive KFs close enough in time
+        # spline validity: consecutive KFs close enough in time (the
+        # previous timestamp is host-known from the shells)
+        sv = False
         if slot > 0:
-            dt = shell.timestamp - float(self.imu.timestamps[slot - 1])
+            prev_sh = self.shells[self.frame_shell_idx[slot - 1]]
+            dt = shell.timestamp - prev_sh.timestamp
             sv = (n > 3) and dt < self.settings.max_imu_interval
-            self.imu = self.imu._replace(
-                spline_valid=self.imu.spline_valid.at[slot].set(sv))
+        self.imu = _set_imu_jit(
+            self.imu, jnp.int32(slot), jnp.asarray(acc), jnp.asarray(gyro),
+            jnp.asarray(ts), jnp.asarray(valid),
+            jnp.float32(shell.timestamp), jnp.asarray(sv))
 
     def _propagate_imu(self, slot: int, shell):
         """propagateImuState for the incoming KF (HessianBlocks.cpp:357-404)."""
@@ -876,8 +867,9 @@ class FullSystem:
         last_R = jnp.asarray(
             self.shells[self.frame_shell_idx[prev]].cam_to_world[:3, :3],
             jnp.float32)
+        prev_t = self.shells[self.frame_shell_idx[prev]].timestamp
         self.imu = IM.propagate_imu_state(
-            self.imu, slot, jnp.float32(self.imu.timestamps[prev]),
+            self.imu, slot, jnp.float32(prev_t),
             self.imu.vel[prev], last_R, last_bias, self.settings)
 
     def _optimize_scale(self, shell):
@@ -1320,6 +1312,36 @@ def _pre_marg_jit(ba, imm, k):
         host=jnp.where(imm.host > k, imm.host - 1, imm.host),
     )
     return ba, imm
+
+
+
+@jax.jit
+def _set_imu_jit(imu, slot, acc, gyro, ts, valid, timestamp, spline_valid):
+    """Fused per-KF IMU-sample intake (FrameHessian::setImuData) — one
+    dispatch instead of six eager scatters."""
+    return imu._replace(
+        acc=imu.acc.at[slot].set(acc),
+        gyro=imu.gyro.at[slot].set(gyro),
+        ts=imu.ts.at[slot].set(ts),
+        imu_valid=imu.imu_valid.at[slot].set(valid),
+        timestamps=imu.timestamps.at[slot].set(timestamp),
+        spline_valid=imu.spline_valid.at[slot].set(spline_valid),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h", "sizes"))
+def _kf_core_vio_jit(ba, imu, dI, pyr, settings, w, h, sizes, max_its,
+                     min_its):
+    """Fused VIO keyframe core: windowed visual-inertial BA + HdiF +
+    pose extraction + tracker template — one device call (the VIO analog
+    of _kf_core_jit)."""
+    ba, imu, stats = E.optimize_vio(ba, imu, dI, settings, w, h,
+                                    max_its=max_its, min_its=min_its)
+    HdiF = _hdif_jit(ba, dI, settings, w, h)
+    templates, pc_l0 = WIN.build_track_template(
+        ba, HdiF, pyr, len(pyr), sizes, w, h)
+    return (ba, imu, stats, HdiF, templates, pc_l0,
+            B.state_to_pose(ba.T_cw_eval, ba.state), B.aff_real(ba.state))
 
 
 
