@@ -893,7 +893,7 @@ class FullSystem:
         else:
             s, err = SO.optimize_scale_multi_guess(
                 pyr_r, self.templates, R01, t01, intr0, intr1, self.n_levels)
-        s, err = float(s), float(err)
+        s, err = (float(x) for x in jax.device_get((s, err)))
         ok = 0 < err < self.settings.scale_opt_thres
         self.scale_opt_fails = 0 if ok else self.scale_opt_fails + 1
         if self.scale_opt_fails > 5:
