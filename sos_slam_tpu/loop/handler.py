@@ -20,6 +20,8 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from sos_slam_tpu.utils.hostio import fetch
+
 from sos_slam_tpu.loop import pose_estimator as PE
 from sos_slam_tpu.loop import pose_graph as PG
 from sos_slam_tpu.loop import scancontext as SC
@@ -156,6 +158,7 @@ class LoopHandler:
                 jnp.asarray(valid),
                 jnp.asarray(T_cur_matched0, jnp.float32),
                 self.intrinsics, self.n_levels, s.loop_direct_thres)
+            T_est, okd, rms = fetch((T_est, okd, rms))
             self.timing["direct"].append(_time.time() - t0)
             if bool(okd) and not s.loop_force_icp:
                 ok = True
@@ -171,6 +174,7 @@ class LoopHandler:
             T_icp, oki, err = PE.icp(
                 jnp.asarray(pr), jnp.asarray(vr), jnp.asarray(pc),
                 jnp.asarray(vc), jnp.asarray(T_cm, jnp.float32))
+            T_icp, oki, err = fetch((T_icp, oki, err))
             self.timing["icp"].append(_time.time() - t0)
             if bool(oki) and float(err) < s.loop_icp_thres:
                 ok = True
@@ -227,7 +231,7 @@ class LoopHandler:
             jnp.asarray(T), jnp.asarray(v_valid), jnp.asarray(fixed),
             jnp.asarray(e_from), jnp.asarray(e_to), jnp.asarray(e_meas),
             jnp.asarray(e_info), jnp.asarray(e_valid))
-        T_out = np.asarray(T_out, np.float64)
+        T_out = np.asarray(fetch(T_out), np.float64)
         for i, f in enumerate(self.frames):
             f["T_opt"] = T_out[i]
         self.timing["graph"].append(_time.time() - t0)

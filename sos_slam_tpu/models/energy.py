@@ -459,6 +459,95 @@ def drop_points(ba: B.BAState, drop: jnp.ndarray) -> B.BAState:
     )
 
 
+# ----------------------------------------------------------------------
+# gauge null spaces (FullSystem::getNullspaces, FullSystemOptimize.cpp:
+# 528-576; per-frame parts FrameHessian::setStateZero,
+# HessianBlocks.cpp:66-102) and the EnergyFunctional::orthogonalize
+# projection (EnergyFunctional.cpp:971-1027). Like the reference, the
+# solver does not apply the projection by default (solver mode flags off);
+# both are provided for parity and diagnostics.
+# ----------------------------------------------------------------------
+
+def frame_nullspaces(T_cw_eval: jnp.ndarray, exposure: jnp.ndarray,
+                     aff_a0: jnp.ndarray):
+    """Per-frame gauge null-space directions at the FEJ pose.
+
+    Central-difference derivative of the left-increment coordinates under a
+    global gauge change, evaluated exactly as the reference does
+    (HessianBlocks.cpp:70-101). Returns (pose (6,6), scale (6,),
+    affine (2,2) columns [A, B])."""
+    eps = 1e-3
+    T = T_cw_eval
+    Ti = lie.se3_inv(T)
+
+    basis = jnp.eye(6) * eps
+    logP = jax.vmap(lambda e: lie.se3_log(T @ lie.se3_exp(e) @ Ti))(basis)
+    logM = jax.vmap(lambda e: lie.se3_log(T @ lie.se3_exp(-e) @ Ti))(basis)
+    ns_pose = ((logP - logM) / (2.0 * eps)).T        # (6,6), col i = dir i
+
+    Tp = T.at[:3, 3].multiply(1.00001)
+    Tm = T.at[:3, 3].divide(1.00001)
+    ns_scale = (lie.se3_log(Tp @ Ti) - lie.se3_log(Tm @ Ti)) / (2.0 * eps)
+
+    ns_aff = jnp.array([[1.0, 0.0], [0.0, 1.0]]) \
+        * jnp.array([1.0, jnp.exp(aff_a0) * exposure])[None, :]
+    return ns_pose, ns_scale, ns_aff
+
+
+@jax.jit
+def get_nullspaces(ba: B.BAState) -> jnp.ndarray:
+    """Window-wide null-space vectors in internal (scaled) state units.
+
+    Returns (9, 4+8F): rows 0-5 global pose gauge, 6-7 affine A/B gauge,
+    8 global scale gauge — the same order as the reference's
+    nullspaces_x0_pre (FullSystemOptimize.cpp:537-575), with the
+    SCALE_*_INVERSE factors folded in. Rows for invalid frame slots are
+    zero."""
+    F = ba.F
+    D = CPARS + 8 * F
+    a0 = B.aff_real(ba.state_zero)[:, 0]
+    ns_pose, ns_scale, ns_aff = jax.vmap(frame_nullspaces)(
+        ba.T_cw_eval, ba.exposure, a0)
+    fv = ba.frame_valid.astype(jnp.float32)
+    inv_s = 1.0 / B.STATE8_SCALE
+
+    rows = []
+    for i in range(6):
+        blk = jnp.zeros((F, 8)).at[:, :6].set(ns_pose[:, :, i])
+        blk = blk * inv_s[None, :] * fv[:, None]
+        rows.append(jnp.concatenate([jnp.zeros(CPARS), blk.reshape(-1)]))
+    for i in range(2):
+        blk = jnp.zeros((F, 8)).at[:, 6:8].set(ns_aff[:, :, i])
+        blk = blk * inv_s[None, :] * fv[:, None]
+        rows.append(jnp.concatenate([jnp.zeros(CPARS), blk.reshape(-1)]))
+    blk = jnp.zeros((F, 8)).at[:, :6].set(ns_scale)
+    blk = blk * inv_s[None, :] * fv[:, None]
+    rows.append(jnp.concatenate([jnp.zeros(CPARS), blk.reshape(-1)]))
+    return jnp.stack(rows)                            # (9, D)
+
+
+@functools.partial(jax.jit, static_argnames=("delta",))
+def orthogonalize(b: jnp.ndarray, H: jnp.ndarray, nullspaces: jnp.ndarray,
+                  delta: float = 1e-5):
+    """Project (b, H) onto the complement of the gauge null spaces
+    (EnergyFunctional::orthogonalize, EnergyFunctional.cpp:971-1027).
+
+    nullspaces: (K, D) rows; like the reference, callers pass the pose (6)
+    and scale (1) rows — the affine rows are commented out there too.
+    delta mirrors setting_solverModeDelta."""
+    norms = jnp.linalg.norm(nullspaces, axis=1, keepdims=True)
+    N = (nullspaces / jnp.maximum(norms, 1e-12)).T    # (D, K)
+    U, S, Vt = jnp.linalg.svd(N, full_matrices=False)
+    keep = S > delta * jnp.max(S)
+    S_inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    Npi = U * S_inv[None, :] @ Vt                     # pseudo-inverse pieces
+    NNpiT = N @ Npi.T
+    NNpiTS = 0.5 * (NNpiT + NNpiT.T)
+    b_out = b - NNpiTS @ b
+    H_out = H - NNpiTS @ H @ NNpiTS
+    return b_out, H_out
+
+
 @functools.partial(jax.jit, static_argnames=())
 def marginalize_frame(ba: B.BAState, k: jnp.ndarray) -> B.BAState:
     """Schur-marginalize frame slot k out of HM/bM and compact the window

@@ -32,6 +32,7 @@ from sos_slam_tpu.ops.image import build_pyramid, interp_bilinear
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.camera import CalibPyramid
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
+from sos_slam_tpu.utils.hostio import fetch
 
 
 @dataclasses.dataclass
@@ -430,7 +431,7 @@ class FullSystem:
             )
             # materialize ONCE with a single batched transfer: all later
             # host logic is pure numpy
-            return jax.device_get(out)
+            return fetch(out)
 
         def pick(out, lvl=0):
             good = out["good"]
@@ -456,7 +457,7 @@ class FullSystem:
             self.settings, self.w, self.h, self.n_levels, intr)
         # ONE batched readback for everything the host needs this frame
         # (each separate np.asarray is a full tunnel round trip)
-        out, accept_np, T_cw_new = jax.device_get(
+        out, accept_np, T_cw_new = fetch(
             (out_j, accept_j, T_cw_new_j))
         best, achieved = pick(out)
         traced = bool(accept_np)
@@ -634,7 +635,7 @@ class FullSystem:
                     self.tmpl_sizes, max_its, s.min_opt_iterations)
 
         # ONE batched readback: BA stats + optimized poses + affines
-        stats, T_cw, affs = jax.device_get((stats, T_cw_j, affs_j))
+        stats, T_cw, affs = fetch((stats, T_cw_j, affs_j))
         rmse = float(stats["rmse"])
         if bool(stats["is_lost"]):
             self.is_lost = True
@@ -678,12 +679,12 @@ class FullSystem:
 
         # publishers: non-final keyframe + depth visualization
         if self.output_wrappers:
-            u_t, v_t, id_t, ok_t = (np.asarray(a) for a in self.pc_l0)
+            u_t, v_t, id_t, ok_t = fetch(self.pc_l0)
             idmap = np.zeros((self.h, self.w), np.float32)
             sel_ok = ok_t.astype(bool)
             idmap[v_t[sel_ok].astype(int), u_t[sel_ok].astype(int)] = \
                 id_t[sel_ok]
-            img0 = np.asarray(pyr[0][..., 0])
+            img0 = fetch(pyr[0][..., 0])
             for ow in self.output_wrappers:
                 ow.publish_keyframes(dict(shell=shell), final=False)
                 ow.push_depth_image(img0, idmap)
@@ -743,7 +744,7 @@ class FullSystem:
 
         # --- single batched readback ---
         (stats, T_cw, affs, marg_np, died, n_have, ecols_np, b_host, b_u,
-         b_v, b_id) = jax.device_get(
+         b_v, b_id) = fetch(
             (stats, T_cw_j, affs_j, marg_j, died_j, n_have_j,
              [(e, n) for _, e, n in ecols],
              ba_pre_marg.host, ba_pre_marg.u, ba_pre_marg.v,
@@ -801,12 +802,12 @@ class FullSystem:
 
         # publishers: non-final keyframe + depth visualization
         if self.output_wrappers:
-            u_t, v_t, id_t, ok_t = jax.device_get(self.pc_l0)
+            u_t, v_t, id_t, ok_t = fetch(self.pc_l0)
             idmap = np.zeros((self.h, self.w), np.float32)
             sel_ok = ok_t.astype(bool)
             idmap[v_t[sel_ok].astype(int), u_t[sel_ok].astype(int)] = \
                 id_t[sel_ok]
-            img0 = np.asarray(pyr[0][..., 0])
+            img0 = fetch(pyr[0][..., 0])
             for ow in self.output_wrappers:
                 ow.publish_keyframes(dict(shell=shell), final=False)
                 ow.push_depth_image(img0, idmap)
@@ -893,7 +894,7 @@ class FullSystem:
         else:
             s, err = SO.optimize_scale_multi_guess(
                 pyr_r, self.templates, R01, t01, intr0, intr1, self.n_levels)
-        s, err = (float(x) for x in jax.device_get((s, err)))
+        s, err = (float(x) for x in fetch((s, err)))
         ok = 0 < err < self.settings.scale_opt_thres
         self.scale_opt_fails = 0 if ok else self.scale_opt_fails + 1
         if self.scale_opt_fails > 5:
@@ -932,7 +933,7 @@ class FullSystem:
         # in = active + immature points, out = cumulative deaths per host
         if stats is None:
             stats = _frame_stats_jit(self.ba, self.imm)
-        pt_in, imm_in, aff, T_cw_j, exp = jax.device_get(
+        pt_in, imm_in, aff, T_cw_j, exp = fetch(
             (*stats, self.ba.exposure))
         for i in range(n):
             n_in = pt_in[i] + imm_in[i]
@@ -994,16 +995,17 @@ class FullSystem:
             self.ba, marg, died = _marg_points_jit(
                 ba, self.dI, self.HdiF, jnp.asarray(flagged_hosts), s,
                 self.w, self.h)
-        self.host_out += np.asarray(died)
+        died, marg_np, b_host, b_u, b_v, b_id = fetch(
+            (died, marg, ba.host, ba.u, ba.v, ba.idepth))
+        self.host_out += died
 
         # cache marginalized points per host for the loop-closure export
         # (reads the PRE-marginalization arrays, which `ba` still holds)
-        marg_np = np.asarray(marg)
         if marg_np.any():
-            hosts = np.asarray(ba.host)[marg_np]
-            us = np.asarray(ba.u)[marg_np]
-            vs = np.asarray(ba.v)[marg_np]
-            ids = np.asarray(ba.idepth)[marg_np]
+            hosts = b_host[marg_np]
+            us = b_u[marg_np]
+            vs = b_v[marg_np]
+            ids = b_id[marg_np]
             for hh, uu, vv, ii in zip(hosts, us, vs, ids):
                 self._marg_pts_cache[int(hh)].append((uu, vv, ii))
 
@@ -1063,7 +1065,7 @@ class FullSystem:
                 self.ba, self.imm, self.dI, e_col, n_col = _marg_frame_jit(
                     self.ba, self.imm, self.dI, jnp.int32(k), self.settings,
                     self.w, self.h)
-                e_col, n_col = jax.device_get((e_col, n_col))
+                e_col, n_col = fetch((e_col, n_col))
                 kf_record = self._export_kf(k, float(e_col), float(n_col))
             self.frame_pyramids = (self.frame_pyramids[:k]
                                    + self.frame_pyramids[k + 1:] + [None])
@@ -1109,7 +1111,7 @@ class FullSystem:
             pts_uvdi = pts.copy()
             pts_uvdi[:, 2] = pts[:, 2] / scale    # idepth -> metric
             inten = np.zeros((len(pts), self.n_levels), np.float32)
-            pyr_np = jax.device_get(pyramid)   # one batched transfer
+            pyr_np = fetch(pyramid)   # one batched transfer
             for lvl in range(self.n_levels):
                 u = (pts[:, 0] + 0.5) / (1 << lvl) - 0.5
                 v = (pts[:, 1] + 0.5) / (1 << lvl) - 0.5
@@ -1123,6 +1125,48 @@ class FullSystem:
         return dict(shell=sh, slot=k, pts_uvdi=pts_uvdi, intensities=inten,
                     pyramid=pyramid, dso_error=dso_error,
                     scale_error=sh.scale_error)
+
+    # ------------------------------------------------------------------
+    def prewarm(self, pots=(1, 2, 3, 4)) -> None:
+        """Pre-dispatch rare program variants so no XLA compile (or
+        multi-second executable cache load) lands inside the steady-state
+        loop. Covers: the phase-2 (5-wide full) and phase-3 (78-wide
+        coarsest-screen) tracker fallbacks and the selector-potential
+        ladder rungs of the makeNewTraces / point-marg programs.
+
+        Pure dispatches on copies of the current state — no state mutated.
+        Requires an initialized system with a built tracker template."""
+        if not self.initialized or self.templates is None:
+            return
+        s = self.settings
+        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        pyr = self.frame_pyramids[self.ref_slot]
+        if pyr is None:
+            return
+        outs = []
+        aff0 = jnp.zeros(2, jnp.float32)
+        exposures = jnp.ones(2, jnp.float32)
+        eye = np.eye(4, dtype=np.float32)
+        for width, min_level in ((5, 0), (78, self.n_levels - 1)):
+            outs.append(TK.track_hypotheses(
+                pyr, self.templates, jnp.asarray(np.stack([eye] * width)),
+                aff0, jnp.asarray(self.ref_aff), exposures, intr,
+                self.n_levels, min_level=min_level,
+                coarse_cutoff_th=s.coarse_cutoff_th, huber=s.huber_th))
+        n_slots = min(s.max_immature, self.imm.u.shape[0])
+        density = jnp.float32(s.desired_immature_density)
+        no_flags = jnp.zeros(self.F, bool)
+        for pot in pots:
+            pot = selector._snap_pot(pot)
+            self.key, k2 = jax.random.split(self.key)
+            outs.append(_select_insert_jit(
+                self.imm, pyr[0], jnp.int32(0), k2, density, s, pot,
+                n_slots)[1])
+            outs.append(_marg_select_jit(
+                self.ba, self.imm, self.dI, self.HdiF, no_flags, pyr[0],
+                jnp.int32(0), k2, density, s, self.w, self.h, pot,
+                n_slots)[4])
+        jax.block_until_ready(outs)
 
     # ------------------------------------------------------------------
     def trajectory(self, scaled: bool = False) -> np.ndarray:

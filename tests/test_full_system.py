@@ -71,6 +71,17 @@ def test_trajectory_accuracy(run_sequence):
     assert ate < 0.05 * max(path_len, 1e-9) + 0.01, (ate, path_len)
 
 
+def test_prewarm_smoke(run_sequence):
+    """prewarm() dispatches the rare program variants without touching
+    state (used by bench.py to keep XLA compiles out of the timed loop)."""
+    fs, _ = run_sequence
+    state_before = jax.tree.map(lambda a: np.asarray(a), fs.ba)
+    fs.prewarm(pots=(3,))
+    state_after = jax.tree.map(lambda a: np.asarray(a), fs.ba)
+    for a, b in zip(jax.tree.leaves(state_before), jax.tree.leaves(state_after)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_window_invariants(run_sequence):
     fs, _ = run_sequence
     n = int(jnp.sum(fs.ba.frame_valid))
