@@ -456,9 +456,10 @@ class FullSystem:
             jnp.asarray(exposures), jnp.float32(achieve_th),
             self.settings, self.w, self.h, self.n_levels, intr)
         # ONE batched readback for everything the host needs this frame
-        # (each separate np.asarray is a full tunnel round trip)
-        out, accept_np, T_cw_new = fetch(
-            (out_j, accept_j, T_cw_new_j))
+        # (each separate np.asarray is a full tunnel round trip) — includes
+        # the window stats so a subsequent keyframe pays no extra fetch
+        out, accept_np, T_cw_new, stats = fetch(
+            (out_j, accept_j, T_cw_new_j, (*stats, self.ba.exposure)))
         best, achieved = pick(out)
         traced = bool(accept_np)
         if traced:
@@ -567,7 +568,7 @@ class FullSystem:
                 jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
                 self.w, self.h, s)
             marg_flags = self._flag_frames_for_marginalization(
-                (pt_in, imm_in, aff_j, T_cw_stats))
+                (pt_in, imm_in, aff_j, T_cw_stats, self.ba.exposure))
         else:
             self._trace_new_coarse(pyr, shell, exposure)
             marg_flags = []
@@ -932,9 +933,8 @@ class FullSystem:
         flags = []
         # in = active + immature points, out = cumulative deaths per host
         if stats is None:
-            stats = _frame_stats_jit(self.ba, self.imm)
-        pt_in, imm_in, aff, T_cw_j, exp = fetch(
-            (*stats, self.ba.exposure))
+            stats = (*_frame_stats_jit(self.ba, self.imm), self.ba.exposure)
+        pt_in, imm_in, aff, T_cw_j, exp = fetch(stats)
         for i in range(n):
             n_in = pt_in[i] + imm_in[i]
             n_out = self.host_out[i]
@@ -1102,7 +1102,8 @@ class FullSystem:
                         pts_uvdi=np.zeros((0, 3), np.float32),
                         intensities=np.zeros((0, self.n_levels), np.float32),
                         pyramid=None, dso_error=dso_error,
-                        scale_error=sh.scale_error)
+                        scale_error=sh.scale_error,
+                        calib=self.calib.intrinsics(0))
 
         pts = np.array(self._marg_pts_cache[k], np.float32).reshape(-1, 3)
         scale = max(sh.scale, 1e-9)
@@ -1124,7 +1125,8 @@ class FullSystem:
 
         return dict(shell=sh, slot=k, pts_uvdi=pts_uvdi, intensities=inten,
                     pyramid=pyramid, dso_error=dso_error,
-                    scale_error=sh.scale_error)
+                    scale_error=sh.scale_error,
+                    calib=self.calib.intrinsics(0))
 
     # ------------------------------------------------------------------
     def prewarm(self, pots=(1, 2, 3, 4)) -> None:
@@ -1262,11 +1264,23 @@ def _activation_jit(ba, imm, dI, min_act_dist, w, h, settings):
     dist = _min_dist(pu, pv, mu, mv, m_ok)
     want = can & (dist >= min_act_dist * imm.my_type)
 
-    idepth, ok, res_in = TR.activate_points(
-        imm, want, dI, pre.R, pre.t, pre.affLL, ba.frame_valid,
+    # compact the candidate set before the expensive 1-DoF GN against all
+    # window frames: steady state activates a few hundred points per KF,
+    # so running the (N, F, 8)-tap linearizations over the full immature
+    # pool wastes >2x the gathers. K keeps headroom over any realistic
+    # per-KF activation burst; overflow candidates simply stay immature
+    # and activate at the next keyframe.
+    N = imm.u.shape[0]
+    K = min(1024, N)
+    _, idx = jax.lax.top_k(want.astype(jnp.float32), K)
+    sub = jax.tree.map(lambda a: a[idx], imm)
+    idepth_k, ok_k, _ = TR.activate_points(
+        sub, want[idx], dI, pre.R, pre.t, pre.affLL, ba.frame_valid,
         (fx, fy, cx, cy), w, h, settings,
     )
-    return want, kill, idepth, ok & want, res_in
+    idepth = jnp.zeros(N, idepth_k.dtype).at[idx].set(idepth_k)
+    ok = jnp.zeros(N, bool).at[idx].set(ok_k)
+    return want, kill, idepth, ok & want, None
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_slots"))
