@@ -455,6 +455,9 @@ class FullSystem:
             jnp.asarray(aff0), jnp.asarray(self.ref_aff),
             jnp.asarray(exposures), jnp.float32(achieve_th),
             self.settings, self.w, self.h, self.n_levels, intr)
+        # keep the device-resident stats so a keyframe can dispatch its
+        # whole chain (flags included) without waiting on this readback
+        self._stats_dev = stats
         # ONE batched readback for everything the host needs this frame
         # (each separate np.asarray is a full tunnel round trip) — includes
         # the window stats so a subsequent keyframe pays no extra fetch
@@ -556,21 +559,35 @@ class FullSystem:
         t0 = _time.time()
         s = self.settings
 
+        vision = not s.enable_imu
         if traced:
             # trace + stats already ran inside the fused frame step
-            marg_flags = self._flag_frames_for_marginalization(stats) \
-                if len(self.frame_shell_idx) >= s.min_frames else []
-        elif len(self.frame_shell_idx) >= s.min_frames:
+            stats_dev = self._stats_dev
+            stats_np = stats
+        else:
             # fused trace + per-frame stats (one dispatch)
             self.imm, pt_in, imm_in, aff_j, T_cw_stats = _trace_stats_jit(
                 self.ba, self.imm, pyr[0],
                 jnp.asarray(shell.cam_to_world, jnp.float32),
                 jnp.asarray(shell.aff, jnp.float32), jnp.asarray(exposure),
                 self.w, self.h, s)
-            marg_flags = self._flag_frames_for_marginalization(
-                (pt_in, imm_in, aff_j, T_cw_stats, self.ba.exposure))
+            stats_dev = (pt_in, imm_in, aff_j, T_cw_stats)
+            stats_np = None
+
+        if vision:
+            # device-side flags: the whole KF chain dispatches with no
+            # intermediate readback (flags fetched with the final batch)
+            pt_in, imm_in, aff_j, T_cw_stats = stats_dev
+            flags_j, marg_ks_j = _flag_frames_jit(
+                pt_in, imm_in, aff_j, T_cw_stats, self.ba.exposure,
+                self.ba.frame_valid, jnp.asarray(self.host_out),
+                jnp.int32(len(self.kf_shell_ids)), s)
+            marg_flags = None
+        elif len(self.frame_shell_idx) >= s.min_frames:
+            if stats_np is None:
+                stats_np = fetch((*stats_dev, self.ba.exposure))
+            marg_flags = self._flag_frames_for_marginalization(stats_np)
         else:
-            self._trace_new_coarse(pyr, shell, exposure)
             marg_flags = []
 
         # insert frame (+ level-0 image) in one dispatch
@@ -595,7 +612,7 @@ class FullSystem:
 
         if not s.enable_imu:
             self._kf_finish_vision(pyr, shell, exposure, prior_row, slot,
-                                   n_kf, max_its, marg_flags)
+                                   n_kf, max_its, flags_j, marg_ks_j)
             self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
             return
         else:
@@ -700,11 +717,13 @@ class FullSystem:
 
 
     def _kf_finish_vision(self, pyr, shell, exposure, prior_row, slot,
-                          n_kf, max_its, marg_flags):
+                          n_kf, max_its, flags_j, marg_ks_j):
         """Pure-vision keyframe finish: dispatch EVERY device program first
-        (mega BA step, point-marg + selection, frame marginalizations — the
-        device executes them in order with no host sync between), then do
-        ONE batched readback and run all host bookkeeping on numpy.
+        (mega BA step, point-marg + selection, cond-gated frame
+        marginalizations — the device executes them in order with no host
+        sync between; the marginalization flags are device values from
+        _flag_frames_jit), then do ONE batched readback and run all host
+        bookkeeping on numpy.
 
         On the tunneled-TPU path each host sync costs a full round trip, so
         the KF path has exactly one."""
@@ -723,9 +742,6 @@ class FullSystem:
                 self.tmpl_sizes, max_its, s.min_opt_iterations,
                 s, self.w, self.h)
 
-        flagged_hosts = np.zeros(self.F, bool)
-        for k in marg_flags:
-            flagged_hosts[k] = True
         density = float(s.desired_immature_density)
         pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
@@ -734,22 +750,23 @@ class FullSystem:
         self.key, k2 = jax.random.split(self.key)
         self.ba, self.imm, marg_j, died_j, n_have_j = _marg_select_jit(
             ba_pre_marg, imm_pre_select, self.dI, self.HdiF,
-            jnp.asarray(flagged_hosts), pyr[0], jnp.int32(slot), k2,
+            flags_j, pyr[0], jnp.int32(slot), k2,
             jnp.float32(density), s, self.w, self.h, pot, n_slots)
 
-        ecols = []
-        for k in sorted(marg_flags, reverse=True):
-            self.ba, self.imm, self.dI, e_col, n_col = _marg_frame_jit(
-                self.ba, self.imm, self.dI, jnp.int32(k), s, self.w, self.h)
-            ecols.append((k, e_col, n_col))
+        ecols_j = []
+        for j in range(MAX_MARG_FRAMES):
+            self.ba, self.imm, self.dI, e_col, n_col = _maybe_marg_frame_jit(
+                self.ba, self.imm, self.dI, marg_ks_j, j, s, self.w, self.h)
+            ecols_j.append((e_col, n_col))
 
         # --- single batched readback ---
-        (stats, T_cw, affs, marg_np, died, n_have, ecols_np, b_host, b_u,
-         b_v, b_id) = fetch(
-            (stats, T_cw_j, affs_j, marg_j, died_j, n_have_j,
-             [(e, n) for _, e, n in ecols],
+        (stats, T_cw, affs, marg_np, died, n_have, marg_ks, ecols_np,
+         b_host, b_u, b_v, b_id) = fetch(
+            (stats, T_cw_j, affs_j, marg_j, died_j, n_have_j, marg_ks_j,
+             ecols_j,
              ba_pre_marg.host, ba_pre_marg.u, ba_pre_marg.v,
              ba_pre_marg.idepth))
+        marg_flags = [int(k) for k in marg_ks if k >= 0]   # descending
 
         # --- host finish (numpy only) ---
         rmse = float(stats["rmse"])
@@ -813,8 +830,9 @@ class FullSystem:
                 ow.publish_keyframes(dict(shell=shell), final=False)
                 ow.push_depth_image(img0, idmap)
 
-        # frame-marginalization host bookkeeping (device work already done)
-        for (k, _, _), (e_col, n_col) in zip(ecols, ecols_np):
+        # frame-marginalization host bookkeeping (device work already done);
+        # marg_flags is descending so each deletion leaves lower slots valid
+        for k, (e_col, n_col) in zip(marg_flags, ecols_np):
             sh_idx = self.frame_shell_idx[k]
             self.shells[sh_idx].marginalized_at = len(self.shells)
             kf_record = self._export_kf(k, float(e_col), float(n_col))
@@ -956,8 +974,9 @@ class FullSystem:
                 for j in range(n - 1):
                     if j == i:
                         continue
-                    d = np.linalg.norm(
-                        np.linalg.inv(T_cw[j]) @ T_cw[i][:, 3])
+                    # distanceLL: translation norm of the relative pose
+                    # (FrameFramePrecalc::set, HessianBlocks.cpp:431-461)
+                    d = np.linalg.norm(T_cw[i][:3, 3] - T_cw[j][:3, 3])
                     dist_score += 1.0 / (1e-5 + d)
                 d_latest = np.linalg.norm(
                     (np.linalg.inv(T_cw[n - 1]) @ T_cw[i])[:3, 3])
@@ -1355,6 +1374,85 @@ def _frame_stats_jit(ba, imm):
         B.state_to_pose(ba.T_cw_eval, ba.state)
 
 
+MAX_MARG_FRAMES = 4   # >= (max_frames - min_frames) + 1 for the defaults
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _flag_frames_jit(pt_in, imm_in, aff, T_cw, exp, frame_valid, host_out,
+                     n_kf, settings):
+    """Device-side flagFramesForMarginalization
+    (FullSystemMarginalize.cpp:54-141): lets the whole keyframe chain
+    dispatch without a host readback of the window stats.
+
+    Mirrors the host `_flag_frames_for_marginalization` decision exactly
+    (same thresholds, same sequential count gating, same latest-frame
+    exclusion); pairwise distances use the translation norm of the
+    relative transform (distanceLL, HessianBlocks.cpp:431-461).
+
+    Returns (flags (F,) bool, marg_ks (MAX_MARG_FRAMES,) int32 descending
+    slot indices padded with -1)."""
+    s = settings
+    F = pt_in.shape[0]
+    n = jnp.sum(frame_valid)
+    newest = n - 1
+    aff_n = jnp.take(aff[:, 0], newest)
+    exp_n = jnp.take(exp, newest)
+
+    flags = jnp.zeros(F, bool)
+    cnt = jnp.int32(0)
+    for i in range(F):
+        n_in = (pt_in[i] + imm_in[i]).astype(jnp.float32)
+        n_out = host_out[i].astype(jnp.float32)
+        a_rel = jnp.exp(aff_n - aff[i, 0]) * exp[i] / jnp.maximum(exp_n, 1e-9)
+        c = (
+            ((n_in < s.min_points_remaining * (n_in + n_out))
+             | (jnp.abs(jnp.log(jnp.maximum(a_rel, 1e-9)))
+                > s.max_log_aff_fac_in_window))
+            & ((n - cnt) > s.min_frames) & (i < n)
+        )
+        flags = flags.at[i].set(c)
+        cnt = cnt + c.astype(jnp.int32)
+
+    # distance-score drop when the window would overflow
+    need = (n + 1 - cnt) >= s.max_frames
+    t = T_cw[:, :3, 3]
+    D = jnp.linalg.norm(t[:, None] - t[None, :], axis=-1)        # (F,F)
+    idx = jnp.arange(F)
+    tgt_ok = (idx < n - 1)[None, :] & (idx[:, None] != idx[None, :])
+    inv_sum = jnp.sum(jnp.where(tgt_ok, 1.0 / (1e-5 + D), 0.0), axis=1)
+    d_latest = jnp.linalg.norm(
+        t - jnp.take(t, newest, axis=0)[None, :], axis=-1)
+    score = inv_sum * -jnp.sqrt(jnp.maximum(d_latest, 1e-9))
+    skip0 = jnp.asarray(n_kf <= s.max_frames)
+    eligible = (idx < n - 1) & ~flags & ~((idx == 0) & skip0)
+    score = jnp.where(eligible, score, 2.0)
+    best = jnp.argmin(score)
+    flags = flags | ((idx == best) & need & (score[best] < 1.0))
+
+    # descending flagged slots, padded with -1
+    marked = jnp.where(flags, idx, -1)
+    marg_ks, _ = jax.lax.top_k(marked, MAX_MARG_FRAMES)
+    return flags, marg_ks
+
+
+@functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
+def _maybe_marg_frame_jit(ba, imm, dI, marg_ks, j, settings, w, h):
+    """cond-gated frame marginalization: slot marg_ks[j] if >= 0, else a
+    no-op — lets a fixed number of marginalization programs dispatch
+    before the flags are ever read back."""
+    k = marg_ks[j]
+
+    def do(args):
+        ba_, imm_, dI_ = args
+        return _marg_frame_jit(ba_, imm_, dI_, k, settings, w, h)
+
+    def skip(args):
+        ba_, imm_, dI_ = args
+        return ba_, imm_, dI_, jnp.float32(0.0), jnp.int32(0)
+
+    return jax.lax.cond(k >= 0, do, skip, (ba, imm, dI))
+
+
 @jax.jit
 def _pre_marg_jit(ba, imm, k):
     """Straggler-point drop + residual-column kill + immature remap before a
@@ -1443,10 +1541,15 @@ def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
     FullSystem.cpp:311-361, applied only if the track achieves) + per-frame
     window stats for the marginalization flags."""
     pyr, _ = build_pyramid(image, n_levels)
-    out = TK.track_hypotheses(
-        pyr, templates, T_primary[None], aff0, ref_aff, exposures, intr,
-        n_levels, coarse_cutoff_th=settings.coarse_cutoff_th,
+    # direct single-hypothesis track (no 1-wide vmap: the batch dim forces
+    # (1, ...) layouts through the whole cascade); keep the leading axis on
+    # the outputs for interface parity with the batched fallback phases
+    out1 = TK.track_newest_coarse(
+        pyr, templates, T_primary, aff0, ref_aff, exposures,
+        jnp.full((6,), jnp.nan), tuple(intr), n_levels,
+        coarse_cutoff_th=settings.coarse_cutoff_th,
         huber=settings.huber_th)
+    out = jax.tree.map(lambda a: a[None], out1)
     res0 = out["residuals"][0, 0]
     accept = out["good"][0] & jnp.isfinite(res0) & (res0 < achieve_th)
     T_cw_new = T_cw_ref @ jnp.linalg.inv(out["T"][0])

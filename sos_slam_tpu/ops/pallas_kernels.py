@@ -52,8 +52,12 @@ def _pyramid_level_kernel(img_ref, dI_ref, asg_ref, down_ref):
     dI_ref[..., 1] = dx
     dI_ref[..., 2] = dy
     asg_ref[:] = dx * dx + dy * dy
+    # box downsample over the even-cropped extent (odd trailing row/col of
+    # an odd-sized coarsest level is dropped, matching h//2 x w//2 output)
+    he, we = (h // 2) * 2, (w // 2) * 2
     down_ref[:] = 0.25 * (
-        img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]
+        img[0:he:2, 0:we:2] + img[0:he:2, 1:we:2]
+        + img[1:he:2, 0:we:2] + img[1:he:2, 1:we:2]
     )
 
 

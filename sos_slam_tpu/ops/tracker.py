@@ -45,6 +45,9 @@ _SCALE8 = jnp.array([1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 10.0, 1000.0], jnp.float32)
 
 MAX_ITERS_PER_LEVEL = (10, 20, 50, 50, 50, 50)
 LAMBDA_EXTRAPOLATION_LIMIT = 1e-3
+LM_CHUNK = 2   # LM iterations per device-loop trip (see track_level);
+               # steady-state tracking converges in 1-3 iterations, so
+               # larger chunks waste full res_and_hb passes on done lanes
 
 
 class LevelTemplate(NamedTuple):
@@ -238,11 +241,12 @@ def track_level(
     cutoff = coarse_cutoff_th * cutoff_repeat
     r0 = res_pass(T0, aff0, cutoff, flow=True)
 
-    # LM loop state: (it, T, aff, E, num, H, b, lam, done)
-    def lm_cond(s):
-        return (s["it"] < max_iters) & ~s["done"]
-
-    def lm_body(s):
+    # LM loop state: (it, T, aff, E, num, H, b, lam, done). The while body
+    # runs LM_CHUNK iterations per trip (frozen once done/over-budget):
+    # device-loop trips have a fixed per-iteration overhead that dwarfs the
+    # fused warp+reduce itself, so amortizing it 4x cuts the level cost.
+    def lm_iter(s):
+        active = ~s["done"] & (s["it"] < max_iters)
         step, inc_raw = _solve_damped(s["H"], s["b"], s["lam"], fix_a, fix_b)
         T_new = lie.se3_exp(step[:6]) @ s["T"]
         aff_new = s["aff"] + step[6:8]
@@ -250,25 +254,33 @@ def track_level(
         # 0 in-bounds terms -> NaN mean -> never accept (reference's 0/0 path)
         mean_new = jnp.where(rn["num_in"] > 0, rn["E"] / rn["num_in"], jnp.nan)
         mean_old = jnp.where(s["num"] > 0, s["E"] / s["num"], jnp.nan)
-        accept = mean_new < mean_old
+        accept = active & (mean_new < mean_old)
         sel = lambda a, b_: jnp.where(accept, a, b_)
         new_lam = jnp.where(
             accept,
             s["lam"] * 0.5,
             jnp.maximum(s["lam"] * 4.0, LAMBDA_EXTRAPOLATION_LIMIT),
         )
-        done = jnp.linalg.norm(inc_raw) <= 1e-3
+        done = s["done"] | (active & (jnp.linalg.norm(inc_raw) <= 1e-3))
         return dict(
-            it=s["it"] + 1,
-            T=sel(T_new, s["T"]),
+            it=s["it"] + active.astype(jnp.int32),
+            T=jnp.where(accept, T_new, s["T"]),
             aff=sel(aff_new, s["aff"]),
             E=sel(rn["E"], s["E"]),
             num=sel(rn["num_in"], s["num"]),
             H=sel(rn["H"], s["H"]),
             b=sel(rn["b"], s["b"]),
-            lam=new_lam,
+            lam=jnp.where(active, new_lam, s["lam"]),
             done=done,
         )
+
+    def lm_cond(s):
+        return (s["it"] < max_iters) & ~s["done"]
+
+    def lm_body(s):
+        for _ in range(LM_CHUNK):
+            s = lm_iter(s)
+        return s
 
     init = dict(it=jnp.int32(0), T=T0, aff=aff0, E=r0["E"], num=r0["num_in"],
                 H=r0["H"], b=r0["b"], lam=jnp.float32(0.01),

@@ -71,6 +71,22 @@ def test_trajectory_accuracy(run_sequence):
     assert ate < 0.05 * max(path_len, 1e-9) + 0.01, (ate, path_len)
 
 
+def test_device_flags_match_host(run_sequence):
+    """_flag_frames_jit (device) must reproduce the host
+    _flag_frames_for_marginalization decision on the same window state."""
+    import sos_slam_tpu.models.full_system as FSM
+    fs, _ = run_sequence
+    stats_dev = FSM._frame_stats_jit(fs.ba, fs.imm)
+    stats_np = jax.device_get((*stats_dev, fs.ba.exposure))
+    host_flags = fs._flag_frames_for_marginalization(stats_np)
+    _, ks = FSM._flag_frames_jit(
+        *stats_dev, fs.ba.exposure, fs.ba.frame_valid,
+        jnp.asarray(fs.host_out), jnp.int32(len(fs.kf_shell_ids)),
+        fs.settings)
+    dev_flags = sorted(int(k) for k in np.asarray(ks) if k >= 0)
+    assert dev_flags == sorted(host_flags)
+
+
 def test_prewarm_smoke(run_sequence):
     """prewarm() dispatches the rare program variants without touching
     state (used by bench.py to keep XLA compiles out of the timed loop)."""
@@ -107,25 +123,32 @@ def test_simultaneous_double_marginalization():
         calib, 30, jnp.array([0.05, 0.015, 0.025, 0.002, 0.006, 0.002]),
         plane_z=2.0)
 
-    orig = fs._flag_frames_for_marginalization
+    import sos_slam_tpu.models.full_system as FSM
+
+    orig_jit = FSM._flag_frames_jit
     forced = {"done": False}
 
-    def patched(stats=None):
-        flags = orig(stats)
+    def patched_jit(pt_in, imm_in, aff, T_cw, exp, fv, host_out, n_kf, s):
+        flags, ks = orig_jit(pt_in, imm_in, aff, T_cw, exp, fv, host_out,
+                             n_kf, s)
         if not forced["done"] and len(fs.frame_shell_idx) >= 6:
             forced["done"] = True
-            return sorted(set(flags) | {1, 3})
-        return flags
+            flags = flags | jnp.isin(jnp.arange(fs.F), jnp.array([1, 3]))
+            marked = jnp.where(flags, jnp.arange(fs.F), -1)
+            ks, _ = jax.lax.top_k(marked, FSM.MAX_MARG_FRAMES)
+        return flags, ks
 
-    fs._flag_frames_for_marginalization = patched
-
-    for i in range(30):
-        fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
-        assert not (fs.is_lost or fs.init_failed), f"lost at frame {i}"
-        assert len(fs._marg_pts_cache) == fs.F
-        assert (fs.host_out >= 0).all()
-        for slot, sh_idx in enumerate(fs.frame_shell_idx):
-            assert fs.shells[sh_idx].is_kf
-            assert fs.frame_pyramids[slot] is not None
+    FSM._flag_frames_jit = patched_jit
+    try:
+        for i in range(30):
+            fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
+            assert not (fs.is_lost or fs.init_failed), f"lost at frame {i}"
+            assert len(fs._marg_pts_cache) == fs.F
+            assert (fs.host_out >= 0).all()
+            for slot, sh_idx in enumerate(fs.frame_shell_idx):
+                assert fs.shells[sh_idx].is_kf
+                assert fs.frame_pyramids[slot] is not None
+    finally:
+        FSM._flag_frames_jit = orig_jit
     assert forced["done"], "double-marg was never triggered"
     assert np.isfinite(fs.trajectory()).all()
