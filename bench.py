@@ -42,10 +42,14 @@ def main():
     settings = default_settings()
     fs = FullSystem(calib, settings)
 
+    verbose = os.environ.get("SOS_BENCH_VERBOSE", "0") == "1"
     frame_times = []
     kf_flags = []
     t_start = time.time()
     for i in range(N_FRAMES):
+        if verbose:
+            print(f"[bench] frame {i} t={time.time()-t_start:.1f}s",
+                  file=sys.stderr, flush=True)
         if i == WARMUP:
             # pre-dispatch rare program variants (tracker fallbacks,
             # selector-potential rungs) so no compile / executable-cache

@@ -93,7 +93,8 @@ def main():
     timed("FULL frame step (fused)",
           lambda: FS._frame_step_jit(
               img, fs.ba, fs.imm, fs.templates, hyp, T_cw_ref, aff0,
-              ref_aff, exposures, jnp.float32(1e9),
+              ref_aff, exposures, jnp.float32(1e9), T_cw_ref,
+              jnp.float32(100.0),
               settings, fs.w, fs.h, fs.n_levels, intr), k)
 
     # KF-path programs (re-run on the current state; results discarded)

@@ -33,9 +33,19 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # XLA compile on the remote-compile TPU path); cache them across processes.
 try:
     import os as _os
-    # key by platform: a cache entry AOT-compiled under the TPU tunnel loads
-    # with mismatched machine features on the CPU backend (SIGILL risk)
+    # key by platform AND a host-CPU fingerprint: XLA:CPU AOT entries
+    # compiled on a machine with different vector extensions SEGFAULT on
+    # load (observed: avx512 builds on a narrower host), and jax's cache
+    # key does not include the machine features
     _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    if "cpu" in _plat:
+        import hashlib as _hl
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next((l for l in _f if l.startswith("flags")), "")
+        except OSError:
+            _flags = ""
+        _plat += "-" + _hl.sha1(_flags.encode()).hexdigest()[:8]
     _cache = _os.environ.get(
         "SOS_SLAM_JAX_CACHE",
         _os.path.expanduser(f"~/.cache/sos_slam_jax/{_plat}"))

@@ -32,7 +32,7 @@ from sos_slam_tpu.ops.image import build_pyramid, interp_bilinear
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.camera import CalibPyramid
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
-from sos_slam_tpu.utils.hostio import fetch
+from sos_slam_tpu.utils.hostio import fetch, prefetch
 
 
 @dataclasses.dataclass
@@ -162,6 +162,15 @@ class FullSystem:
         self.key = jax.random.PRNGKey(3141592)
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.output_wrappers = []    # Output3DWrapper publishers
+
+        # 1-deep speculative pipelining (opt-in; see _pipeline_active)
+        self.pipeline = False
+        self._pending_frame = None
+        self._last_frame_was_kf = False
+        self._stats_dev = None
+        # fused per-frame dispatch with the device-side KF decision
+        # (default on for mono vision; see _fused_kf_active)
+        self.fused_kf = True
         self.stats = dict(n_kf=0, n_frames=0, opt_ms=[])
         from sos_slam_tpu.utils.telemetry import Telemetry
         self.telemetry = Telemetry()
@@ -202,13 +211,260 @@ class FullSystem:
             return
 
         # steady path: the pyramid is built INSIDE the fused frame step
+        if self._fused_kf_active() and not self._pipeline_active():
+            self.finish_pending()
+            p = self._dispatch_frame_step(image, shell, exposure)
+            ch = self._dispatch_kf_chain(p, shell, exposure)
+            self._finish_fused(p, ch)
+            return
+        if not self._pipeline_active():
+            self.finish_pending()
+            with self.telemetry.timed("track"):
+                tres, pyr, traced, stats = self._track_new_coarse(
+                    image, shell, exposure)
+            self._finish_tracked(tres, pyr, shell, exposure, traced, stats)
+            return
+
+        # pipelined driver: dispatch frame i speculatively from frame
+        # i-1's device-side chaining outputs, THEN process frame i-1 (its
+        # readback transfers have been in flight since its dispatch). A
+        # keyframe / tracking fallback / loss at i-1 invalidates the
+        # speculative dispatch — redo it from (now final) host state.
+        prev = self._pending_frame
+        self._pending_frame = None
+        spec = None
+        if prev is not None:
+            spec = self._dispatch_frame_step(
+                image, shell, exposure, dev_next=prev["nxt"],
+                T_cw_prev_dev=prev["T_cw_new_j"], imm_dev=prev["imm_new"])
+            mutated = self._finish_frame(prev, lag=1)
+            if mutated:
+                spec = None
+        if self.is_lost or self.init_failed:
+            return
+        if spec is None:
+            spec = self._dispatch_frame_step(image, shell, exposure)
+        self._pending_frame = spec
+
+    def _pipeline_active(self) -> bool:
+        """1-deep speculative pipelining: mono vision only for now (the
+        VIO primary hypothesis and the stereo right-image handoff are
+        host-side state the speculative dispatch cannot chain yet)."""
+        return (self.pipeline and self.initialized
+                and not self.settings.enable_imu
+                and not self.settings.enable_scale_opt)
+
+    def _fused_kf_active(self) -> bool:
+        """Fused per-frame dispatch: the keyframe decision runs ON DEVICE
+        (_need_kf_jit) and the whole keyframe chain dispatches cond-gated
+        right behind the frame step — one readback per frame, keyframe or
+        not. Mono vision only (scale-opt/VIO keep the classic path)."""
+        return (self.fused_kf and self.initialized
+                and not self.settings.enable_imu
+                and not self.settings.enable_scale_opt)
+
+    def _dispatch_kf_chain(self, p, shell, exposure):
+        """Dispatch the cond-gated keyframe chain for a just-dispatched
+        frame step. Returns the chain record for _finish_fused."""
+        s = self.settings
+        slot = len(self.frame_shell_idx)
+        if slot >= self.F:
+            raise RuntimeError("window overflow — marginalization failed")
+        first = len(self.kf_shell_ids) == 0
+        n_kf_next = len(self.kf_shell_ids) + 1
+        max_its = 20 if n_kf_next < 3 else \
+            (15 if n_kf_next < 4 else s.max_opt_iterations)
+        pot = getattr(self, "_sel_pot", 3)
+        n_slots = min(s.max_immature, self.imm.u.shape[0])
+
+        need_kf_j = _need_kf_jit(
+            p["out_j"], p["accept_j"], jnp.float32(exposure),
+            jnp.float32(self.ref_exposure),
+            jnp.float32(self.first_coarse_rmse), jnp.asarray(first),
+            s, self.w, self.h)
+        k2 = jax.random.fold_in(self.key, shell.id)
+        outs = _kf_chain_jit(
+            need_kf_j, self.ba, p["imm_new"], self.dI, p["pyr"],
+            p["T_cw_new_j"], p["nxt"]["aff"],
+            jnp.float32(exposure), self._prior_row(first=first),
+            jnp.int32(slot), jnp.asarray(self.current_min_act_dist,
+                                         jnp.float32),
+            jnp.asarray(self.host_out),
+            jnp.int32(len(self.kf_shell_ids)), k2, p["stats_dev"],
+            max_its, s.min_opt_iterations, self.tmpl_sizes, pot, n_slots,
+            s, self.w, self.h)
+        (ba_o, imm_o, dI_o, min_act_o, HdiF_o, templates_o, pc_o, stats_o,
+         T_cw_o, affs_o, marg_o, died_o, n_have_o, marg_ks_o, ecols_o,
+         marg_pts_o) = outs
+        fetch_tree = (need_kf_j, stats_o, T_cw_o, affs_o, marg_o, died_o,
+                      n_have_o, marg_ks_o, ecols_o, marg_pts_o)
+        prefetch(fetch_tree)
+        return dict(slot=slot, n_kf_next=n_kf_next, pot=pot,
+                    n_slots=n_slots,
+                    state=(ba_o, imm_o, dI_o, min_act_o, HdiF_o,
+                           templates_o, pc_o),
+                    fetch_tree=fetch_tree)
+
+    def _finish_fused(self, p, ch):
+        """Single-fetch completion of a fused frame: one batched readback
+        of the step + chain results, then host bookkeeping."""
+        shell = p["shell"]
+        exposure = p["exposure"]
+        # one RPC: the step's own fetch inside _process_frame_step hits
+        # host-cached values afterwards
+        (need_kf, stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
+         ecols_np, marg_pts) = fetch((ch["fetch_tree"], p["fetch_tree"]))[0]
+
         with self.telemetry.timed("track"):
-            tres, pyr, traced, stats = self._track_new_coarse(
-                image, shell, exposure)
+            tres, pyr, traced, stats = self._process_frame_step(p, lag=0)
         if tres is None:
             self.is_lost = True
+            self._last_frame_was_kf = False
+            return
+        need_kf = bool(need_kf)
+        self._last_frame_was_kf = need_kf
+        self.telemetry.count("keyframes" if need_kf else "frames")
+        for ow in self.output_wrappers:
+            ow.publish_cam_pose(shell, None)
+
+        if not traced:
+            # fallback tracking was used: the device chain ran its identity
+            # branch (need_kf was gated on accept); decide classically
+            need_kf = self._keyframe_decision(tres, shell)
+            self._last_frame_was_kf = need_kf
+            self._deliver_tracked_frame(pyr, shell, exposure, need_kf,
+                                        traced, stats)
+            return
+        if not need_kf:
+            return  # trace already applied inside the step
+
+        # ---- keyframe: adopt the chain's device state + host bookkeeping
+        import time as _time
+        t0 = _time.time()
+        (self.ba, self.imm, self.dI, self.current_min_act_dist, self.HdiF,
+         self.templates, self.pc_l0) = ch["state"]
+        self._finish_kf_fused(p, ch, shell, exposure, stats_t, T_cw, affs,
+                              marg_np, died, n_have, marg_ks, ecols_np,
+                              marg_pts)
+        self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
+
+    def _finish_kf_fused(self, p, ch, shell, exposure, stats_t, T_cw, affs,
+                         marg_np, died, n_have, marg_ks, ecols_np,
+                         marg_pts):
+        """Host bookkeeping for a device-decided keyframe (the fetched
+        values mirror _kf_finish_vision's single readback)."""
+        s = self.settings
+        pyr = p["pyr"]
+        slot = ch["slot"]
+        self.frame_pyramids[slot] = pyr
+        self.frame_shell_idx.append(self.shells.index(shell))
+        self.kf_shell_ids.append(shell.id)
+        shell.is_kf = True
+        self.stats["n_kf"] += 1
+        n_kf = len(self.kf_shell_ids)
+
+        energy, rmse, n_its, n_active, is_lost = stats_t
+        rmse = float(rmse)
+        if bool(is_lost):
+            self.is_lost = True
+            return
+        if (n_kf == 2 and rmse > 25) or (n_kf == 3 and rmse > 15) or \
+                (n_kf == 4 and rmse > 10):
+            self.init_failed = True
+            return
+
+        for i, sh_idx in enumerate(self.frame_shell_idx):
+            self.shells[sh_idx].cam_to_world = T_cw[i]
+            self.shells[sh_idx].aff = affs[i]
+        self.ref_slot = len(self.frame_shell_idx) - 1
+        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        self.ref_exposure = exposure
+        self._update_scaled_poses()
+
+        marg_flags = [int(k) for k in marg_ks if k >= 0]   # descending
+
+        # point-marginalization bookkeeping + loop-closure cache
+        self.host_out += died
+        if marg_np.any():
+            b_host, b_u, b_v, b_id = marg_pts
+            for hh, uu, vv, ii in zip(b_host[marg_np], b_u[marg_np],
+                                      b_v[marg_np], b_id[marg_np]):
+                self._marg_pts_cache[int(hh)].append((uu, vv, ii))
+
+        # selector potential adaptation (PixelSelector2.cpp K-model);
+        # rung changes take effect at the next keyframe's dispatch
+        pot = ch["pot"]
+        density = float(s.desired_immature_density)
+        n_have = int(n_have)
+        quotia = density / max(n_have, 1)
+        K = n_have * (pot + 1) ** 2
+        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
+        redo = None
+        if quotia > 1.25 and pot > 1:
+            redo = selector.pot_step(pot, up=False)
+        elif quotia < 0.25:
+            redo = selector.pot_step(pot, up=True)
+        if redo is not None and redo != pot:
+            self._sel_pot = redo
+
+        # publishers: non-final keyframe + depth visualization
+        if self.output_wrappers:
+            u_t, v_t, id_t, ok_t = fetch(self.pc_l0)
+            idmap = np.zeros((self.h, self.w), np.float32)
+            sel_ok = ok_t.astype(bool)
+            idmap[v_t[sel_ok].astype(int), u_t[sel_ok].astype(int)] = \
+                id_t[sel_ok]
+            img0 = fetch(pyr[0][..., 0])
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(dict(shell=shell), final=False)
+                ow.push_depth_image(img0, idmap)
+
+        # frame-marginalization host bookkeeping (device work already done)
+        for k, (e_col, n_col) in zip(marg_flags, ecols_np):
+            sh_idx = self.frame_shell_idx[k]
+            self.shells[sh_idx].marginalized_at = len(self.shells)
+            kf_record = self._export_kf(k, float(e_col), float(n_col))
+            self.frame_pyramids = (self.frame_pyramids[:k]
+                                   + self.frame_pyramids[k + 1:] + [None])
+            del self.frame_shell_idx[k]
+            self.host_out[k:-1] = self.host_out[k + 1:]
+            self.host_out[-1] = 0
+            del self._marg_pts_cache[k]
+            self._marg_pts_cache.append([])
+            if self.ref_slot > k:
+                self.ref_slot -= 1
+            for cb in self.marg_callbacks:
+                cb(kf_record)
+            for ow in self.output_wrappers:
+                ow.publish_keyframes(kf_record, final=True)
+
+    def finish_pending(self) -> None:
+        """Process the in-flight pipelined frame, if any. Must be called
+        before reading trajectories/state at a sequence boundary."""
+        p = self._pending_frame
+        if p is None:
+            return
+        self._pending_frame = None
+        self._finish_frame(p, lag=0)
+
+    def _finish_frame(self, p, lag: int) -> bool:
+        """Fetch + complete a dispatched frame (tracking fallbacks, KF
+        decision, delivery). Returns True if the window state was mutated
+        beyond the speculative assumption (KF made, fallback used, or
+        tracking lost)."""
+        with self.telemetry.timed("track"):
+            tres, pyr, traced, stats = self._process_frame_step(p, lag=lag)
+        self._finish_tracked(tres, pyr, p["shell"], p["exposure"], traced,
+                             stats)
+        return (tres is None) or (not traced) or self._last_frame_was_kf
+
+    def _finish_tracked(self, tres, pyr, shell, exposure, traced, stats):
+        if tres is None:
+            self.is_lost = True
+            self._last_frame_was_kf = False
             return
         need_kf = self._keyframe_decision(tres, shell)
+        self._last_frame_was_kf = need_kf
         self.telemetry.count("keyframes" if need_kf else "frames")
         for ow in self.output_wrappers:
             ow.publish_cam_pose(shell, None)
@@ -328,13 +584,17 @@ class FullSystem:
     # ------------------------------------------------------------------
     # tracking
     # ------------------------------------------------------------------
-    def _motion_hypotheses(self) -> jnp.ndarray:
-        """lastF -> new initializations (FullSystem.cpp:148-215)."""
+    def _motion_hypotheses(self, lag: int = 0) -> jnp.ndarray:
+        """lastF -> new initializations (FullSystem.cpp:148-215).
+
+        lag: how many newer shells follow the frame being tracked (the
+        pipelined driver processes frame i while frame i+1's shell is
+        already appended)."""
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
         T_ref = ref_shell.cam_to_world
-        if len(self.shells) >= 3:
-            slast = self.shells[-2]
-            sprelast = self.shells[-3]
+        if len(self.shells) >= 3 + lag:
+            slast = self.shells[-2 - lag]
+            sprelast = self.shells[-3 - lag]
             if slast.pose_valid and sprelast.pose_valid and ref_shell.pose_valid:
                 T_sl = slast.cam_to_world
                 T_spl = sprelast.cam_to_world
@@ -411,26 +671,78 @@ class FullSystem:
         Returns (tres, pyramid, traced, stats): `traced` says the trace
         already ran inside the fused step; `stats` are the per-frame window
         stats for the marginalization flags."""
+        p = self._dispatch_frame_step(image, shell, exposure)
+        return self._process_frame_step(p, lag=0)
+
+    def _dispatch_frame_step(self, image, shell, exposure, dev_next=None,
+                             T_cw_prev_dev=None, imm_dev=None, lag=0):
+        """Dispatch the fused frame step and start its readback transfers.
+
+        dev_next: the previous step's device-side chaining outputs
+        (pipelined path — no host value is consulted); None computes the
+        primary hypothesis / affine / threshold on the host as before.
+        Returns the pending record consumed by _process_frame_step."""
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
-        # init affine from the LAST frame (aff_last_2_l, FullSystem.cpp:148)
-        # NOTE: host-side numpy throughout — every eager device op is a
-        # ~70ms dispatch round-trip on the remote-TPU path
-        aff0 = np.asarray(self.shells[-2].aff, np.float32) \
-            if len(self.shells) >= 2 else np.zeros(2, np.float32)
         exposures = np.array([self.ref_exposure, exposure], np.float32)
+        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+        imm_in = self.imm if imm_dev is None else imm_dev
 
-        hyps, perturbed = self._motion_hypotheses()
+        if dev_next is None:
+            # host inputs (numpy throughout — eager device ops block on the
+            # tunnel): affine init from the last frame (aff_last_2_l,
+            # FullSystem.cpp:148), constant-motion primary hypothesis
+            aff0 = np.asarray(self.shells[-2 - lag].aff, np.float32) \
+                if len(self.shells) >= 2 + lag else np.zeros(2, np.float32)
+            hyps, _ = self._motion_hypotheses(lag=lag)
+            T_primary = jnp.asarray(hyps[0], jnp.float32)
+            aff0_j = jnp.asarray(aff0)
+            achieve_th = jnp.float32(
+                self.last_coarse_rmse[0] * self.settings.re_track_threshold)
+            T_cw_prev = jnp.asarray(
+                self.shells[-2 - lag].cam_to_world
+                if len(self.shells) >= 2 + lag else np.eye(4), jnp.float32)
+        else:
+            T_primary = dev_next["T_primary"]
+            aff0_j = dev_next["aff"]
+            achieve_th = dev_next["th"]
+            T_cw_prev = T_cw_prev_dev
+        last_rmse0 = jnp.float32(self.last_coarse_rmse[0])
 
-        def run_batch(T_list, min_level=0):
+        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats, nxt = \
+            _frame_step_jit(
+                jnp.asarray(image, jnp.float32), self.ba, imm_in,
+                self.templates, T_primary,
+                jnp.asarray(ref_shell.cam_to_world, jnp.float32),
+                aff0_j, jnp.asarray(self.ref_aff),
+                jnp.asarray(exposures), achieve_th, T_cw_prev, last_rmse0,
+                self.settings, self.w, self.h, self.n_levels, intr)
+        fetch_tree = (out_j, accept_j, T_cw_new_j, (*stats, self.ba.exposure))
+        # start the device->host copies NOW: by the time the (possibly
+        # next-frame) fetch happens, the transfers rode the execution
+        prefetch(fetch_tree)
+        return dict(shell=shell, exposure=exposure, pyr=pyr, out_j=out_j,
+                    imm_new=imm_new, accept_j=accept_j,
+                    T_cw_new_j=T_cw_new_j, stats_dev=stats,
+                    nxt=nxt, fetch_tree=fetch_tree, exposures=exposures)
+
+    def _process_frame_step(self, p, lag=0):
+        """Consume a pending frame-step record: fetch, run the fallback
+        phases if the primary was rejected, update the shell. Returns
+        (tres, pyramid, traced, stats) like the old fused path."""
+        shell = p["shell"]
+        exposure = p["exposure"]
+        pyr = p["pyr"]
+        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+
+        def run_batch(T_list, aff0, min_level=0):
             Ts = np.stack([np.asarray(t, np.float32) for t in T_list])
             out = TK.track_hypotheses(
-                pyr, self.templates, Ts, aff0, self.ref_aff, exposures,
-                intr, self.n_levels, min_level=min_level,
+                pyr, self.templates, Ts, aff0, self.ref_aff,
+                p["exposures"], intr, self.n_levels, min_level=min_level,
                 coarse_cutoff_th=self.settings.coarse_cutoff_th,
                 huber=self.settings.huber_th,
             )
-            # materialize ONCE with a single batched transfer: all later
-            # host logic is pure numpy
             return fetch(out)
 
         def pick(out, lvl=0):
@@ -443,56 +755,47 @@ class FullSystem:
             b = c[np.argmin(res[c])]
             return int(b), float(res[b])
 
-        achieve_th = self.last_coarse_rmse[0] * self.settings.re_track_threshold
-
-        # phase 1: the primary hypothesis alone, fused with pyramid + trace
-        # (the reference stops after try 0 when it achieves, FullSystem.cpp:270)
-        ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
-        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats = _frame_step_jit(
-            jnp.asarray(image, jnp.float32), self.ba, self.imm,
-            self.templates, jnp.asarray(hyps[0], jnp.float32),
-            jnp.asarray(ref_shell.cam_to_world, jnp.float32),
-            jnp.asarray(aff0), jnp.asarray(self.ref_aff),
-            jnp.asarray(exposures), jnp.float32(achieve_th),
-            self.settings, self.w, self.h, self.n_levels, intr)
         # keep the device-resident stats so a keyframe can dispatch its
-        # whole chain (flags included) without waiting on this readback
-        self._stats_dev = stats
-        # ONE batched readback for everything the host needs this frame
-        # (each separate np.asarray is a full tunnel round trip) — includes
-        # the window stats so a subsequent keyframe pays no extra fetch
-        out, accept_np, T_cw_new, stats = fetch(
-            (out_j, accept_j, T_cw_new_j, (*stats, self.ba.exposure)))
+        # whole chain (flags included) without another readback
+        self._stats_dev = p["stats_dev"]
+        out, accept_np, T_cw_new, stats = fetch(p["fetch_tree"])
+        achieve_th = self.last_coarse_rmse[0] * \
+            self.settings.re_track_threshold
         best, achieved = pick(out)
         traced = bool(accept_np)
         if traced:
-            self.imm = imm_new
+            self.imm = p["imm_new"]
         # `traced` is authoritative: the device-side accept decision also
         # selected which imm to keep, so the host must not second-guess it
         # (f32 vs f64 boundary ties would desync pose and trace)
         if not traced and (best is None or achieved >= achieve_th):
             # phase 2: the remaining standard hypotheses, full track
+            hyps, perturbed = self._motion_hypotheses(lag=lag)
+            aff0 = np.asarray(self.shells[-2 - lag].aff, np.float32) \
+                if len(self.shells) >= 2 + lag else np.zeros(2, np.float32)
             if len(hyps) > 1:
-                out2 = run_batch(_pad_hyps(hyps[1:], 5))
+                out2 = run_batch(_pad_hyps(hyps[1:], 5), aff0)
                 b2, a2 = pick(out2)
                 if b2 is not None and a2 < achieved:
                     out, best, achieved = out2, b2, a2
-        if not traced and (best is None or achieved >= achieve_th):
-            # phase 3: rotation-perturbed restarts screened at the coarsest
-            # level only (FullSystem.cpp:190), then full track on the best 2
-            coarse = run_batch(perturbed, min_level=self.n_levels - 1)
-            res_c = coarse["residuals"][:, self.n_levels - 1]
-            res_c = np.where(np.isfinite(res_c), res_c, np.inf)
-            top2 = np.argsort(res_c)[:2]
-            out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5))
-            b3, a3 = pick(out3)
-            if b3 is not None and a3 < achieved:
-                out, best, achieved = out3, b3, a3
+            if best is None or achieved >= achieve_th:
+                # phase 3: rotation-perturbed restarts screened at the
+                # coarsest level (FullSystem.cpp:190), full track on best 2
+                coarse = run_batch(perturbed, aff0,
+                                   min_level=self.n_levels - 1)
+                res_c = coarse["residuals"][:, self.n_levels - 1]
+                res_c = np.where(np.isfinite(res_c), res_c, np.inf)
+                top2 = np.argsort(res_c)[:2]
+                out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5),
+                                 aff0)
+                b3, a3 = pick(out3)
+                if b3 is not None and a3 < achieved:
+                    out, best, achieved = out3, b3, a3
 
         if best is None:
             shell.pose_valid = False
-            shell.cam_to_world = self.shells[-2].cam_to_world if \
-                len(self.shells) > 1 else np.eye(4)
+            shell.cam_to_world = self.shells[-2 - lag].cam_to_world if \
+                len(self.shells) > 1 + lag else np.eye(4)
             return None, pyr, False, stats
 
         T_ref_to_new = out["T"][best]
@@ -747,7 +1050,7 @@ class FullSystem:
         n_slots = min(s.max_immature, self.imm.u.shape[0])
         ba_pre_marg = self.ba        # pre-marg arrays for the loop cache
         imm_pre_select = self.imm    # for the rare pot-retry re-selection
-        self.key, k2 = jax.random.split(self.key)
+        k2 = jax.random.fold_in(self.key, shell.id)
         self.ba, self.imm, marg_j, died_j, n_have_j = _marg_select_jit(
             ba_pre_marg, imm_pre_select, self.dI, self.HdiF,
             flags_j, pyr[0], jnp.int32(slot), k2,
@@ -806,13 +1109,14 @@ class FullSystem:
         ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
         redo = None
         if quotia > 1.25 and pot > 1:
-            redo = selector._snap_pot(min(ideal, pot - 1))
+            redo = selector.pot_step(pot, up=False)
         elif quotia < 0.25:
-            redo = selector._snap_pot(max(ideal, pot + 1))
+            redo = selector.pot_step(pot, up=True)
         if redo is not None and redo != pot:
             pot = redo
             if not marg_flags:
-                self.key, k2 = jax.random.split(self.key)
+                k2 = jax.random.fold_in(
+                    jax.random.fold_in(self.key, shell.id), 1)
                 self.imm, _ = _select_insert_jit(
                     imm_pre_select, pyr[0], jnp.int32(slot), k2,
                     jnp.float32(density), s, pot, n_slots)
@@ -1159,6 +1463,7 @@ class FullSystem:
         Requires an initialized system with a built tracker template."""
         if not self.initialized or self.templates is None:
             return
+        self.finish_pending()
         s = self.settings
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         pyr = self.frame_pyramids[self.ref_slot]
@@ -1177,9 +1482,9 @@ class FullSystem:
         n_slots = min(s.max_immature, self.imm.u.shape[0])
         density = jnp.float32(s.desired_immature_density)
         no_flags = jnp.zeros(self.F, bool)
-        for pot in pots:
+        for i, pot in enumerate(pots):
             pot = selector._snap_pot(pot)
-            self.key, k2 = jax.random.split(self.key)
+            k2 = jax.random.fold_in(self.key, 990000 + i)
             outs.append(_select_insert_jit(
                 self.imm, pyr[0], jnp.int32(0), k2, density, s, pot,
                 n_slots)[1])
@@ -1187,6 +1492,18 @@ class FullSystem:
                 self.ba, self.imm, self.dI, self.HdiF, no_flags, pyr[0],
                 jnp.int32(0), k2, density, s, self.w, self.h, pot,
                 n_slots)[4])
+            if self._fused_kf_active():
+                # the fused chain is one big program per pot rung: compile
+                # it (identity branch dispatch) before the timed loop
+                stats0 = _frame_stats_jit(self.ba, self.imm)
+                outs.append(_kf_chain_jit(
+                    jnp.asarray(False), self.ba, self.imm, self.dI, pyr,
+                    jnp.eye(4, dtype=jnp.float32), aff0, jnp.float32(1.0),
+                    jnp.zeros(8), jnp.int32(0),
+                    jnp.float32(self.current_min_act_dist),
+                    jnp.asarray(self.host_out), jnp.int32(1), k2, stats0,
+                    s.max_opt_iterations, s.min_opt_iterations,
+                    self.tmpl_sizes, pot, n_slots, s, self.w, self.h)[12])
         jax.block_until_ready(outs)
 
     # ------------------------------------------------------------------
@@ -1194,6 +1511,7 @@ class FullSystem:
         """poses.txt contract: one row `id x y z` per keyframe
         (LoopHandler::savePose, LoopHandler.cpp:62-76). scaled=True uses the
         metric camToWorldScaled chain (stereo)."""
+        self.finish_pending()
         rows = []
         for sh in self.shells:
             if sh.is_kf:
@@ -1435,6 +1753,70 @@ def _flag_frames_jit(pt_in, imm_in, aff, T_cw, exp, frame_valid, host_out,
     return flags, marg_ks
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "pot", "n_slots",
+                                             "settings", "w", "h"))
+def _kf_chain_jit(need_kf, ba, imm, dI, pyr, T_cw_new, aff_new, exposure,
+                  prior_row, slot, min_act_dist, host_out, n_kf, key,
+                  stats_dev, max_its, min_its, sizes, pot, n_slots,
+                  settings, w, h):
+    """The ENTIRE keyframe chain (marg flags + insert/activate/BA/template
+    + point marg/selection + up to MAX_MARG_FRAMES frame marginalizations),
+    cond-gated on the device-side keyframe decision.
+
+    Dispatched EVERY frame right after the fused step: non-keyframes run
+    the identity branch (state passes through untouched), keyframes run the
+    full chain — either way the host needs only ONE readback per frame and
+    never sits between the decision and the chain."""
+    s = settings
+
+    def run(_):
+        pt_in, imm_in, aff_j, T_cw_stats = stats_dev
+        flags, marg_ks = _flag_frames_jit(
+            pt_in, imm_in, aff_j, T_cw_stats, ba.exposure, ba.frame_valid,
+            host_out, n_kf, s)
+        (ba2, imm2, dI2, min_act2, stats, HdiF2, templates2, pc2,
+         T_cw_all, affs) = _kf_mega_jit(
+            ba, imm, dI, pyr, T_cw_new, aff_new, exposure, prior_row,
+            slot, min_act_dist, sizes, max_its, min_its, s, w, h)
+        marg_pts = (ba2.host, ba2.u, ba2.v, ba2.idepth)  # loop-cache source
+        ba3, imm3, marg, died, n_have = _marg_select_jit(
+            ba2, imm2, dI2, HdiF2, flags, pyr[0], slot, key,
+            jnp.float32(s.desired_immature_density), s, w, h, pot, n_slots)
+        dI3 = dI2
+        ecols = []
+        for j in range(MAX_MARG_FRAMES):
+            ba3, imm3, dI3, e_col, n_col = _maybe_marg_frame_jit(
+                ba3, imm3, dI3, marg_ks, j, s, w, h)
+            ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
+        return (ba3, imm3, dI3, min_act2, HdiF2, templates2, pc2,
+                (stats["energy"], stats["rmse"], stats["n_its"],
+                 stats["n_active"], stats["is_lost"]),
+                T_cw_all, affs, marg, died, n_have, marg_ks,
+                jnp.stack(ecols), marg_pts)
+
+    def skip(_):
+        F, P = ba.F, ba.P
+        HdiF0 = jnp.zeros(P)
+        templates0 = tuple(
+            TK.LevelTemplate(
+                u=jnp.zeros(sz), v=jnp.zeros(sz), idepth=jnp.zeros(sz),
+                color=jnp.zeros(sz), valid=jnp.zeros(sz, bool))
+            for sz in sizes)
+        pc0 = (jnp.zeros(sizes[0]), jnp.zeros(sizes[0]),
+               jnp.zeros(sizes[0]), jnp.zeros(sizes[0], bool))
+        return (ba, imm, dI, min_act_dist, HdiF0, templates0, pc0,
+                (jnp.float32(0), jnp.float32(0), jnp.int32(0), jnp.int32(0),
+                 jnp.array(False)),
+                jnp.zeros((F, 4, 4)), jnp.zeros((F, 2)),
+                jnp.zeros(P, bool), jnp.zeros(F, jnp.int32), jnp.int32(0),
+                jnp.full((MAX_MARG_FRAMES,), -1, jnp.int32),
+                jnp.zeros((MAX_MARG_FRAMES, 2)),
+                (jnp.zeros(P, jnp.int32), jnp.zeros(P), jnp.zeros(P),
+                 jnp.zeros(P)))
+
+    return jax.lax.cond(need_kf, run, skip, None)
+
+
 @functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
 def _maybe_marg_frame_jit(ba, imm, dI, marg_ks, j, settings, w, h):
     """cond-gated frame marginalization: slot marg_ks[j] if >= 0, else a
@@ -1533,13 +1915,18 @@ def _marg_select_jit(ba, imm, dI, HdiF, flagged_hosts, dI0, slot, key,
 @functools.partial(jax.jit,
                    static_argnames=("settings", "w", "h", "n_levels", "intr"))
 def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
-                    ref_aff, exposures, achieve_th, settings, w, h,
-                    n_levels, intr):
+                    ref_aff, exposures, achieve_th, T_cw_prev, last_rmse0,
+                    settings, w, h, n_levels, intr):
     """Fused steady-state frame step — ONE dispatch for the typical frame:
     pyramid build + primary-hypothesis coarse track (trackNewCoarse try 0,
     FullSystem.cpp:270) + conditional immature-point trace (traceNewCoarse,
     FullSystem.cpp:311-361, applied only if the track achieves) + per-frame
-    window stats for the marginalization flags."""
+    window stats for the marginalization flags.
+
+    Also emits the NEXT frame's chaining inputs (constant-motion primary
+    hypothesis from (T_cw_prev, this pose), tracked affine, achieve
+    threshold) so a pipelined driver can dispatch frame i+1 before frame
+    i's results are ever read back."""
     pyr, _ = build_pyramid(image, n_levels)
     # direct single-hypothesis track (no 1-wide vmap: the batch dim forces
     # (1, ...) layouts through the whole cascade); keep the leading axis on
@@ -1557,7 +1944,47 @@ def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
                             exposures[1], w, h, settings)
     imm = jax.tree.map(lambda a, b: jnp.where(accept, a, b), imm_traced, imm)
     stats = _frame_stats_jit(ba, imm)
-    return pyr, out, imm, accept, T_cw_new, stats
+
+    # next-frame chaining inputs (valid when `accept`; a pipelined driver
+    # redispatches from host state otherwise)
+    rms0 = jnp.where(jnp.isfinite(res0), res0, last_rmse0)
+    fh_2_sl = lie.se3_inv(T_cw_prev) @ T_cw_new
+    lastF_2_sl = lie.se3_inv(T_cw_new) @ T_cw_ref
+    nxt = dict(
+        T_primary=lie.se3_inv(fh_2_sl) @ lastF_2_sl,
+        aff=out["aff"][0],
+        th=rms0 * settings.re_track_threshold,
+    )
+    return pyr, out, imm, accept, T_cw_new, stats, nxt
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _need_kf_jit(out, accept, exposure_new, ref_exposure, first_rmse,
+                 first_kf, settings, w, h):
+    """Device-side keyframe decision — the same optical-flow/brightness
+    heuristic as FullSystem._keyframe_decision (FullSystem.cpp:709-732),
+    computed from the fused step's outputs so the whole keyframe chain can
+    dispatch cond-gated before any host readback."""
+    s = settings
+    a_ref = jnp.exp(out["aff"][0, 0]) * exposure_new \
+        / jnp.maximum(ref_exposure, 1e-9)
+    flow_t = out["flow"][0, 0]
+    flow_rt = out["flow"][0, 1]
+    wh = float(w + h)
+    score = (
+        s.kf_global_weight * s.max_shift_weight_t
+        * jnp.sqrt(jnp.maximum(flow_t, 0.0)) / wh
+        + s.kf_global_weight * s.max_shift_weight_rt
+        * jnp.sqrt(jnp.maximum(flow_rt, 0.0)) / wh
+        + s.kf_global_weight * s.max_affine_weight
+        * jnp.abs(jnp.log(jnp.maximum(a_ref, 1e-9)))
+    )
+    res0 = out["residuals"][0, 0]
+    # first_rmse < 0 means no frame has been tracked yet; the host sets it
+    # to this frame's res0 before deciding, so the gate is never triggered
+    first_eff = jnp.where(first_rmse < 0, res0, first_rmse)
+    decide = (score > 1.0) | (2.0 * first_eff < res0) | first_kf
+    return accept & decide
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "settings"))

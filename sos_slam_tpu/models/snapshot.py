@@ -38,6 +38,8 @@ def save_snapshot(fs: FullSystem, path: str) -> None:
     _pack("imm", fs.imm, out)
     if fs.imu is not None:
         _pack("imu", fs.imu, out)
+    if hasattr(fs, "finish_pending"):
+        fs.finish_pending()
     out["dI"] = np.asarray(fs.dI)
     out["HdiF"] = np.asarray(fs.HdiF)
     for lvl_set, name in ((fs.frame_pyramids, "pyr"),):

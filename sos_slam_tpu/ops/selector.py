@@ -268,6 +268,17 @@ def _snap_pot(pot: int) -> int:
     return min(POT_LADDER, key=lambda p: abs(p - pot))
 
 
+def pot_step(pot: int, up: bool) -> int:
+    """Adjacent ladder rung. The density adaptation moves ONE rung per
+    keyframe instead of jumping straight to the ideal potential: every
+    rung is a full XLA program variant (the fused keyframe chain is ~30
+    min of remote compile), so the reachable-rung set must stay small and
+    prewarmable. Convergence takes a couple of keyframes instead of one."""
+    i = POT_LADDER.index(_snap_pot(pot))
+    j = min(i + 1, len(POT_LADDER) - 1) if up else max(i - 1, 0)
+    return POT_LADDER[j]
+
+
 def make_maps(
     dI0,
     absgrads,

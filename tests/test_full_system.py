@@ -119,6 +119,9 @@ def test_simultaneous_double_marginalization():
     bookkeeping shifts, FullSystemMarginalize.cpp:54-141 analog)."""
     calib = synthetic.default_calib(160, 120)
     fs = FullSystem(calib, default_settings())
+    # classic path: the forced-flag monkeypatch below is resolved at call
+    # time there; the fused chain bakes _flag_frames_jit into one program
+    fs.fused_kf = False
     imgs, _, _ = synthetic.make_sequence(
         calib, 30, jnp.array([0.05, 0.015, 0.025, 0.002, 0.006, 0.002]),
         plane_z=2.0)

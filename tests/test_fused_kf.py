@@ -1,0 +1,70 @@
+"""Fused per-frame dispatch with the device-side keyframe decision
+(FullSystem.fused_kf): must reproduce the classic host-decided path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_slam_tpu.models.full_system import FullSystem
+from sos_slam_tpu.utils import synthetic
+from sos_slam_tpu.utils.config import default_settings
+
+W, H = 256, 192
+N_FRAMES = 28
+
+
+def _settings():
+    return default_settings(
+        max_window_frames=8, max_points=512, max_immature=1024,
+        max_track_pts=4096, desired_point_density=400.0,
+        desired_immature_density=400.0,
+    )
+
+
+def _run(fused: bool):
+    calib = synthetic.default_calib(W, H)
+    twist = jnp.array([0.05, 0.02, 0.03, 0.003, 0.006, 0.002])
+    imgs, _, poses = synthetic.make_sequence(calib, N_FRAMES, twist,
+                                             plane_z=2.0)
+    fs = FullSystem(calib, _settings())
+    fs.fused_kf = fused
+    for i in range(N_FRAMES):
+        fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
+        if fs.is_lost or fs.init_failed:
+            break
+    return fs, np.asarray(poses)
+
+
+def test_fused_matches_classic():
+    fs_c, poses = _run(fused=False)
+    fs_f, _ = _run(fused=True)
+    assert not fs_f.is_lost and not fs_f.init_failed
+    assert fs_f.initialized
+
+    traj_c = fs_c.trajectory()
+    traj_f = fs_f.trajectory()
+    assert traj_c[:, 0].astype(int).tolist() == \
+        traj_f[:, 0].astype(int).tolist(), "keyframe sets differ"
+    # device decision + chain reuse the identical math; only f32-vs-f64
+    # score rounding may flip exact ties, so poses must agree tightly
+    d = np.linalg.norm(traj_c[:, 1:4] - traj_f[:, 1:4], axis=1)
+    assert d.max() < 1e-4, d.max()
+
+    # window state matches too
+    np.testing.assert_allclose(np.asarray(fs_c.ba.state),
+                               np.asarray(fs_f.ba.state), atol=1e-5)
+    assert int(jnp.sum(fs_c.ba.pt_valid)) == int(jnp.sum(fs_f.ba.pt_valid))
+
+
+def test_fused_accuracy():
+    fs, poses = _run(fused=True)
+    traj = fs.trajectory()
+    ids = traj[:, 0].astype(int)
+    est, gt = traj[:, 1:4], poses[ids, :3, 3]
+    en, gn = np.linalg.norm(est, axis=1), np.linalg.norm(gt, axis=1)
+    nz = gn > 1e-6
+    scale = np.median(en[nz] / gn[nz]) if nz.any() else 1.0
+    ate = np.sqrt(np.mean(
+        np.linalg.norm(est / max(scale, 1e-9) - gt, axis=1) ** 2))
+    path = np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1))
+    assert ate < 0.05 * max(path, 1e-9) + 0.01, (ate, path)
