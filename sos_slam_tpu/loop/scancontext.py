@@ -72,7 +72,8 @@ class ScanAccumulator:
     def __init__(self, lidar_range: float, enable_imu: bool):
         self.lidar_range = lidar_range
         self.enable_imu = enable_imu
-        self.pts_nearby: List[Tuple[int, np.ndarray]] = []
+        self.pts_w = np.zeros((0, 3), np.float32)   # accumulated world pts
+        self.fids = np.zeros(0, np.int64)           # source KF per point
         self.id2pose: Dict[int, np.ndarray] = {}
 
     def process(self, frame_id: int, T_wc: np.ndarray,
@@ -80,42 +81,51 @@ class ScanAccumulator:
         """Returns (pts_scan (M,3) camera frame, T_sc_rig (4,4))."""
         self.id2pose[frame_id] = T_wc.copy()
         R, t = T_wc[:3, :3], T_wc[:3, 3]
-        for p in pts_cam:
-            self.pts_nearby.append((frame_id, R @ p + t))
+        if len(pts_cam):
+            self.pts_w = np.concatenate(
+                [self.pts_w, (pts_cam @ R.T + t).astype(np.float32)])
+            self.fids = np.concatenate(
+                [self.fids, np.full(len(pts_cam), frame_id, np.int64)])
 
-        # prune frames whose orientation diverged
+        # prune frames whose orientation diverged > 0.5 rad
+        # (numpy rotation angle — an eager device op here would round-trip
+        # the tunnel once per stored pose)
         T_cw = np.linalg.inv(T_wc)
-        drop = []
-        for fid, pose in self.id2pose.items():
-            rel = T_cw @ pose
-            rot_norm = np.linalg.norm(
-                np.asarray(lie.so3_log(jnp.asarray(rel[:3, :3],
-                                                   jnp.float32))))
-            if rot_norm > 0.5:
-                drop.append(fid)
-        for fid in drop:
+        for fid in [f for f, pose in self.id2pose.items()
+                    if np.linalg.norm(
+                        lie.np_so3_log((T_cw @ pose)[:3, :3])) > 0.5]:
             del self.id2pose[fid]
+        valid = np.isin(self.fids, np.fromiter(self.id2pose.keys(),
+                                               np.int64))
 
-        # range filter + voxel keep-highest (-y is up in camera frame)
+        # range filter + voxel keep-highest (-y is up in camera frame);
+        # native C++ kernel with a vectorized numpy fallback
         r = self.lidar_range
-        steps = np.array([1.0 / RES[0], 1.0 / RES[1], 1.0 / RES[2]])
-        vox: Dict[int, Tuple[int, np.ndarray]] = {}
-        sizes = np.floor(2 * r * steps).astype(int) + 1
-        loc_step = np.array([1, sizes[0], sizes[0] * sizes[1]])
-        for i, (fid, p_g) in enumerate(self.pts_nearby):
-            if fid not in self.id2pose:
-                continue
-            p_l = T_cw[:3, :3] @ p_g + T_cw[:3, 3]
-            if np.linalg.norm(p_l) >= r:
-                continue
-            idx3 = np.floor((p_l + r) * steps).astype(int)
-            loc = int(idx3 @ loc_step)
-            if loc not in vox or -vox[loc][1][1] < -p_l[1]:
-                vox[loc] = (i, p_l)
+        inv_res = np.array([1.0 / RES[0], 1.0 / RES[1], 1.0 / RES[2]])
+        from sos_slam_tpu import native
+        res = native.scan_voxel_filter(self.pts_w, valid, T_cw, r, inv_res)
+        if res is not None:
+            keep_idx, pts_scan = res
+        elif len(self.pts_w):
+            p_l = self.pts_w[valid] @ T_cw[:3, :3].T + T_cw[:3, 3]
+            src = np.flatnonzero(valid)
+            inr = np.einsum("ij,ij->i", p_l, p_l) < r * r
+            p_l, src = p_l[inr], src[inr]
+            sizes = np.floor(2 * r * inv_res).astype(np.int64) + 1
+            idx3 = np.floor((p_l + r) * inv_res).astype(np.int64)
+            loc = idx3 @ np.array([1, sizes[0], sizes[0] * sizes[1]])
+            # stable min-y per voxel: sort by (voxel, height), keep first
+            order = np.lexsort((p_l[:, 1], loc))
+            first = np.ones(len(order), bool)
+            first[1:] = loc[order][1:] != loc[order][:-1]
+            sel = order[first]
+            keep_idx, pts_scan = src[sel], p_l[sel]
+        else:
+            keep_idx = np.zeros(0, np.int64)
+            pts_scan = np.zeros((0, 3), np.float32)
 
-        pts_scan = np.array([pl for _, pl in vox.values()]) \
-            if vox else np.zeros((0, 3))
-        self.pts_nearby = [self.pts_nearby[i] for i, _ in vox.values()]
+        self.pts_w = self.pts_w[keep_idx]
+        self.fids = self.fids[keep_idx]
 
         if len(pts_scan) < 8:
             return pts_scan, np.eye(4)

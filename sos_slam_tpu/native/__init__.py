@@ -20,17 +20,22 @@ _TRIED = False
 
 
 def _build() -> Optional[ctypes.CDLL]:
-    src = os.path.join(os.path.dirname(__file__), "preprocess.cpp")
-    with open(src, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, "preprocess.cpp"),
+            os.path.join(here, "scan_voxel.cpp")]
+    h = hashlib.sha1()
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:12]
     cache = os.environ.get(
         "SOS_SLAM_NATIVE_CACHE",
         os.path.expanduser("~/.cache/sos_slam_native"))
     os.makedirs(cache, exist_ok=True)
-    lib_path = os.path.join(cache, f"preprocess_{tag}.so")
+    lib_path = os.path.join(cache, f"sos_native_{tag}.so")
     if not os.path.exists(lib_path):
         cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-               src, "-o", lib_path]
+               *srcs, "-o", lib_path]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except Exception:
@@ -42,12 +47,16 @@ def _build() -> Optional[ctypes.CDLL]:
 
     fp = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     lib.preprocess_frame_u8.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, fp, fp, fp, fp, u8p,
         ctypes.c_int, ctypes.c_int, fp]
     lib.preprocess_frame_f32.argtypes = [
         fp, ctypes.c_int, ctypes.c_int, fp, fp, fp, fp, u8p,
         ctypes.c_int, ctypes.c_int, fp]
+    lib.scan_voxel_filter.argtypes = [
+        fp, u8p, ctypes.c_int, fp, ctypes.c_float, fp, i32p, fp]
+    lib.scan_voxel_filter.restype = ctypes.c_int
     return lib
 
 
@@ -99,3 +108,30 @@ def preprocess_frame(raw: np.ndarray, rx: np.ndarray, ry: np.ndarray,
             h_in, w_in, Gp, Vp, f(rx), f(ry),
             validc.ctypes.data_as(u8p), h, w, f(out))
     return out
+
+
+def scan_voxel_filter(pts_w: np.ndarray, valid: np.ndarray,
+                      T_cw: np.ndarray, lidar_range: float,
+                      inv_res: np.ndarray):
+    """Native voxel keep-highest filter (process_scan_forward analog,
+    ScanContext.cpp:106-178). Returns (keep_idx (M,), pts_local (M,3)) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or len(pts_w) == 0:
+        return None
+    n = len(pts_w)
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    pw = np.ascontiguousarray(pts_w, np.float32)
+    vm = np.ascontiguousarray(valid, np.uint8)
+    T = np.ascontiguousarray(T_cw, np.float32)
+    ir = np.ascontiguousarray(inv_res, np.float32)
+    keep = np.empty(n, np.int32)
+    out = np.empty((n, 3), np.float32)
+    m = lib.scan_voxel_filter(
+        pw.ctypes.data_as(fp), vm.ctypes.data_as(u8p), n,
+        T.ctypes.data_as(fp), ctypes.c_float(lidar_range),
+        ir.ctypes.data_as(fp), keep.ctypes.data_as(i32p),
+        out.ctypes.data_as(fp))
+    return keep[:m].copy(), out[:m].copy()

@@ -62,3 +62,44 @@ def test_native_speed_sane(lib):
         native.preprocess_frame(raw, rx, ry, valid)
     dt = (time.time() - t0) / 10
     assert dt < 0.05, f"native preprocess too slow: {dt*1000:.1f} ms"
+
+
+def test_scan_voxel_filter_matches_numpy():
+    """Native voxel keep-highest filter == the vectorized numpy fallback
+    (process_scan_forward analog, ScanContext.cpp:106-178)."""
+    import numpy as np
+    from sos_slam_tpu import native
+    from sos_slam_tpu.loop import scancontext as SC
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    pts_w = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    valid = rng.random(n) < 0.8
+    T_cw = np.eye(4, dtype=np.float32)
+    T_cw[:3, 3] = [0.5, -0.2, 1.0]
+    r = 25.0
+    inv_res = np.array([1.0 / SC.RES[0], 1.0 / SC.RES[1], 1.0 / SC.RES[2]])
+
+    keep, pts = native.scan_voxel_filter(pts_w, valid, T_cw, r, inv_res)
+
+    # numpy reference (same algorithm as the ScanAccumulator fallback)
+    p_l = pts_w[valid] @ T_cw[:3, :3].T + T_cw[:3, 3]
+    src = np.flatnonzero(valid)
+    inr = np.einsum("ij,ij->i", p_l, p_l) < r * r
+    p_l, src = p_l[inr], src[inr]
+    sizes = np.floor(2 * r * inv_res).astype(np.int64) + 1
+    idx3 = np.floor((p_l + r) * inv_res).astype(np.int64)
+    loc = idx3 @ np.array([1, sizes[0], sizes[0] * sizes[1]])
+    order = np.lexsort((p_l[:, 1], loc))
+    first = np.ones(len(order), bool)
+    first[1:] = loc[order][1:] != loc[order][:-1]
+    ref_idx = set(src[order[first]].tolist())
+
+    assert set(keep.tolist()) == ref_idx
+    # returned local coordinates match the transform
+    chk = pts_w[keep] @ T_cw[:3, :3].T + T_cw[:3, 3]
+    np.testing.assert_allclose(pts, chk, rtol=1e-5, atol=1e-4)
