@@ -41,7 +41,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from sos_slam_tpu.ops.image import interp_bilinear
+from sos_slam_tpu.ops.image import interp_bilinear, interp_bilinear_nfk
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.config import CPARS, PATTERN_OFFSETS, Settings
 
@@ -314,6 +314,9 @@ def linearize(ba: BAState, pre: Precalc, dI: jnp.ndarray,
     pat_ok &= (Kup > 1.1) & (Kvp > 1.1) & (Kup < w - 3) & (Kvp < h - 3)
 
     # gather hit colors per target frame: vmap over F of (P,8) interp
+    # (a per-(point,frame) patch-slice variant measured SLOWER here:
+    # 16k tiny dynamic slices beat the flat gather only for the trace
+    # sweep's much larger per-point tap counts — see interp_bilinear_nfk)
     def hit_one(dI_f, Ku_f, Kv_f):
         return interp_bilinear(dI_f, Ku_f, Kv_f)   # (P,8,3)
 

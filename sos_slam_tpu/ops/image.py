@@ -125,3 +125,44 @@ def in_bounds(u: jnp.ndarray, v: jnp.ndarray, w: int, h: int,
               pad: float = 2.0) -> jnp.ndarray:
     """Validity mask for sampling with `pad` pixels of border margin."""
     return (u > pad) & (u < w - pad - 1) & (v > pad) & (v < h - pad - 1)
+
+
+def interp_bilinear_nfk(dI: jnp.ndarray, Ku: jnp.ndarray, Kv: jnp.ndarray,
+                        patch: int = 16):
+    """Bilinear-sample (F,H,W,C) at (N,F,K) positions via per-(point,frame)
+    patches — the TPU-fast replacement for scattered gathers when the K
+    positions of each (point, frame) are clustered (a projected residual
+    pattern: spread of a few pixels).
+
+    One (patch,patch,C) dynamic-slice per (n,f) is a coherent load; the
+    K taps then resolve as two hat-weight contractions (f32). Positions
+    whose cluster exceeds the patch (extreme projective stretch) clamp to
+    the patch border — callers must mask those via `spread_ok`.
+
+    Returns (samples (N,F,K,C), spread_ok (N,F))."""
+    N, F, K = Ku.shape
+    H, W, C = dI.shape[1], dI.shape[2], dI.shape[3]
+    P = patch
+    lo_x = jnp.min(Ku, axis=2)
+    lo_y = jnp.min(Kv, axis=2)
+    spread_ok = (
+        (jnp.max(Ku, axis=2) - lo_x < P - 3)
+        & (jnp.max(Kv, axis=2) - lo_y < P - 3)
+    )
+    ox = jnp.clip(jnp.floor(lo_x) - 1, 0, W - P).astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(lo_y) - 1, 0, H - P).astype(jnp.int32)
+    fi = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (N, F))
+
+    def slice_one(f, y, x):
+        return jax.lax.dynamic_slice(dI, (f, y, x, 0), (1, P, P, C))[0]
+
+    patches = jax.vmap(jax.vmap(slice_one))(fi, oy, ox)     # (N,F,P,P,C)
+
+    lx = jnp.clip(Ku - ox[..., None], 0.0, P - 2.0)
+    ly = jnp.clip(Kv - oy[..., None], 0.0, P - 2.0)
+    ii = jnp.arange(P, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[..., None] - ii))  # (N,F,K,P)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly[..., None] - ii))
+    t = jnp.einsum("nfijc,nfkj->nfkic", patches, wx)
+    out = jnp.einsum("nfkic,nfki->nfkc", t, wy)
+    return out, spread_ok

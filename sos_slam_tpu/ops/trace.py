@@ -19,7 +19,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from sos_slam_tpu.ops.image import interp_bilinear
+from sos_slam_tpu.ops.image import interp_bilinear, interp_bilinear_nfk
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
 
 # status codes (ImmaturePointStatus, ImmaturePoint.h)
