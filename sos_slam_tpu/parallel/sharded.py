@@ -74,6 +74,27 @@ def sharded_gn_step(mesh: Mesh, ba: B.BAState, dI, settings, w: int, h: int):
     return _gn_step(ba, dI, settings, w, h)
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
+def _vio_gn_step(ba, imu, dI, settings, w, h):
+    ba2, imu2, canbreak, energy = E.gn_step_vio(ba, imu, dI, settings, w, h)
+    return ba2, imu2, energy
+
+
+def sharded_vio_gn_step(mesh: Mesh, ba: B.BAState, imu, dI, settings,
+                        w: int, h: int):
+    """One visual-inertial GN step (vision linearization + IMU Hessian +
+    KKT solve, EnergyFunctional::solveSystemF imu branch) with the point
+    pool sharded on "dp" and the IMU/frame state replicated. The per-point
+    linearization and Schur accumulation fan out across the mesh; XLA
+    AllReduces the (D,D) stitches; the dense (5+29F+C) KKT solve runs
+    replicated (it is tiny)."""
+    ba = shard_ba(ba, mesh)
+    repl = NamedSharding(mesh, P())
+    imu = jax.device_put(imu, repl)
+    dI = jax.device_put(dI, repl)
+    return _vio_gn_step(ba, imu, dI, settings, w, h)
+
+
 def sharded_track(mesh: Mesh, pyramid_new, templates, T_inits, aff0, ref_aff,
                   exposures, intrinsics, n_levels: int, **kw):
     """Batched hypothesis tracking with hypotheses sharded over the mesh."""

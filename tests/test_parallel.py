@@ -31,6 +31,27 @@ def test_sharded_ba_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_vio_matches_single_device():
+    """The sharded VIO KKT step must reproduce the single-device step
+    (points fanned out on dp; the (5+29F+C) solve replicated)."""
+    import __graft_entry__ as ge
+    from sos_slam_tpu.models import energy as E
+
+    ba, dI, settings, imu = ge._tiny_window(n_frames=5, n_points=96,
+                                            with_imu=True)
+    mesh = sharded.make_mesh(8)
+    ba_s, imu_s, e_s = sharded.sharded_vio_gn_step(
+        mesh, ba, imu, dI, settings, ge._W, ge._H)
+    ba_1, imu_1, canbreak, e_1 = E.gn_step_vio(ba, imu, dI, settings,
+                                               ge._W, ge._H)
+    np.testing.assert_allclose(np.asarray(ba_s.state),
+                               np.asarray(ba_1.state), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(imu_s.state),
+                               np.asarray(imu_1.state), atol=1e-4)
+    np.testing.assert_allclose(float(e_s), float(e_1), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharding_layout():
     import sys
     sys.path.insert(0, "tests")
