@@ -73,6 +73,18 @@ class FullSystem:
         F = settings.max_window_frames
         P = settings.max_points
         self.F, self.P = F, P
+        # _flag_frames_jit can flag up to (max_frames - min_frames) + 1
+        # frames per keyframe (the sequential count gate stops at
+        # min_frames, plus one distance-score drop); the cond-gated
+        # marginalization chain dispatches exactly MAX_MARG_FRAMES
+        # programs, so a larger flag count would silently truncate
+        # marg_ks while the full mask still marginalized the points.
+        worst_flags = max(settings.max_frames - settings.min_frames, 2) + 1
+        if worst_flags > MAX_MARG_FRAMES:
+            raise ValueError(
+                f"settings allow up to {worst_flags} frames flagged per KF "
+                f"but MAX_MARG_FRAMES={MAX_MARG_FRAMES}; raise it or "
+                f"narrow max_frames-min_frames")
 
         fx, fy, cx, cy = calib.intrinsics(0)
         c0 = jnp.array([fx, fy, cx, cy]) / B.CALIB_SCALE
@@ -392,20 +404,22 @@ class FullSystem:
                 self._marg_pts_cache[int(hh)].append((uu, vv, ii))
 
         # selector potential adaptation (PixelSelector2.cpp K-model);
-        # rung changes take effect at the next keyframe's dispatch
+        # rung changes take effect at the next keyframe's dispatch. When
+        # prewarm() compiled a specific rung set, stay inside it — a rung
+        # outside the set costs a multi-minute mid-run chain compile.
         pot = ch["pot"]
         density = float(s.desired_immature_density)
         n_have = int(n_have)
         quotia = density / max(n_have, 1)
-        K = n_have * (pot + 1) ** 2
-        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
         redo = None
         if quotia > 1.25 and pot > 1:
             redo = selector.pot_step(pot, up=False)
         elif quotia < 0.25:
             redo = selector.pot_step(pot, up=True)
         if redo is not None and redo != pot:
-            self._sel_pot = redo
+            warm = getattr(self, "_prewarmed_pots", None)
+            if warm is None or redo in warm:
+                self._sel_pot = redo
 
         # publishers: non-final keyframe + depth visualization
         if self.output_wrappers:
@@ -1105,13 +1119,14 @@ class FullSystem:
         # (afterwards the immature host indices have already been remapped)
         n_have = int(n_have)
         quotia = density / max(n_have, 1)
-        K = n_have * (pot + 1) ** 2
-        ideal = selector._snap_pot(max(int((K / density) ** 0.5) - 1, 1))
         redo = None
         if quotia > 1.25 and pot > 1:
             redo = selector.pot_step(pot, up=False)
         elif quotia < 0.25:
             redo = selector.pot_step(pot, up=True)
+        warm = getattr(self, "_prewarmed_pots", None)
+        if redo is not None and warm is not None and redo not in warm:
+            redo = None
         if redo is not None and redo != pot:
             pot = redo
             if not marg_flags:
@@ -1464,6 +1479,9 @@ class FullSystem:
         if not self.initialized or self.templates is None:
             return
         self.finish_pending()
+        # record the compiled rung set: the density adaptation clamps
+        # its ladder moves to it (a rung outside = multi-minute compile)
+        self._prewarmed_pots = {selector._snap_pot(p) for p in pots}
         s = self.settings
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         pyr = self.frame_pyramids[self.ref_slot]

@@ -1,5 +1,14 @@
 """Fused per-frame dispatch with the device-side keyframe decision
-(FullSystem.fused_kf): must reproduce the classic host-decided path."""
+(FullSystem.fused_kf): must reproduce the classic host-decided path.
+
+Known (accepted) divergence: on a selector-pot rung change the classic
+path re-selects immature points within the same keyframe when the density
+is far off (the reference's recursive makeMaps), while the fused path
+applies the new rung only from the next keyframe's dispatch — re-running
+the selection would need a second chain variant per rung pair. The scenes
+here keep the density adaptation quiet so the equivalence stays exact; a
+run that climbs the ladder may differ in immature-point sets (not poses)
+for one keyframe after the rung change."""
 
 import jax
 import jax.numpy as jnp
