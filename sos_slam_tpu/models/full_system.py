@@ -175,11 +175,16 @@ class FullSystem:
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.output_wrappers = []    # Output3DWrapper publishers
 
-        # 1-deep speculative pipelining (opt-in; see _pipeline_active)
-        self.pipeline = False
-        self._pending_frame = None
+        # 1-deep pipelining of the fused path (default on: sync and
+        # pipelined modes consume bit-identical chained device values,
+        # pipelining only overlaps the readback with the next frame's
+        # execution; see _add_frame_fused)
+        self.pipeline = True
+        self._pending_fused = None   # dispatched, not yet completed frame
+        self._last_chain = None      # last completed frame's chain record
         self._last_frame_was_kf = False
         self._stats_dev = None
+        self.pc_l0 = None
         # fused per-frame dispatch with the device-side KF decision
         # (default on for mono vision; see _fused_kf_active)
         self.fused_kf = True
@@ -223,48 +228,14 @@ class FullSystem:
             return
 
         # steady path: the pyramid is built INSIDE the fused frame step
-        if self._fused_kf_active() and not self._pipeline_active():
-            self.finish_pending()
-            p = self._dispatch_frame_step(image, shell, exposure)
-            ch = self._dispatch_kf_chain(p, shell, exposure)
-            self._finish_fused(p, ch)
+        if self._fused_kf_active():
+            self._add_frame_fused(image, shell, exposure)
             return
-        if not self._pipeline_active():
-            self.finish_pending()
-            with self.telemetry.timed("track"):
-                tres, pyr, traced, stats = self._track_new_coarse(
-                    image, shell, exposure)
-            self._finish_tracked(tres, pyr, shell, exposure, traced, stats)
-            return
-
-        # pipelined driver: dispatch frame i speculatively from frame
-        # i-1's device-side chaining outputs, THEN process frame i-1 (its
-        # readback transfers have been in flight since its dispatch). A
-        # keyframe / tracking fallback / loss at i-1 invalidates the
-        # speculative dispatch — redo it from (now final) host state.
-        prev = self._pending_frame
-        self._pending_frame = None
-        spec = None
-        if prev is not None:
-            spec = self._dispatch_frame_step(
-                image, shell, exposure, dev_next=prev["nxt"],
-                T_cw_prev_dev=prev["T_cw_new_j"], imm_dev=prev["imm_new"])
-            mutated = self._finish_frame(prev, lag=1)
-            if mutated:
-                spec = None
-        if self.is_lost or self.init_failed:
-            return
-        if spec is None:
-            spec = self._dispatch_frame_step(image, shell, exposure)
-        self._pending_frame = spec
-
-    def _pipeline_active(self) -> bool:
-        """1-deep speculative pipelining: mono vision only for now (the
-        VIO primary hypothesis and the stereo right-image handoff are
-        host-side state the speculative dispatch cannot chain yet)."""
-        return (self.pipeline and self.initialized
-                and not self.settings.enable_imu
-                and not self.settings.enable_scale_opt)
+        self.finish_pending()
+        with self.telemetry.timed("track"):
+            tres, pyr, traced, stats = self._track_new_coarse(
+                image, shell, exposure)
+        self._finish_tracked(tres, pyr, shell, exposure, traced, stats)
 
     def _fused_kf_active(self) -> bool:
         """Fused per-frame dispatch: the keyframe decision runs ON DEVICE
@@ -275,64 +246,145 @@ class FullSystem:
                 and not self.settings.enable_imu
                 and not self.settings.enable_scale_opt)
 
-    def _dispatch_kf_chain(self, p, shell, exposure):
-        """Dispatch the cond-gated keyframe chain for a just-dispatched
-        frame step. Returns the chain record for _finish_fused."""
+    def _pipeline_ready(self) -> bool:
+        """1-deep pipelining waits for the bootstrap to settle: after 4
+        keyframes the BA iteration budget and the init-failure RMSE gates
+        are constant, so a pending frame's chain can dispatch with the
+        steady-state parameters."""
+        return self.pipeline and len(self.kf_shell_ids) >= 4
+
+    def _add_frame_fused(self, image, shell, exposure):
+        """Fused driver: dispatch this frame's step + cond-gated keyframe
+        chain, all inputs chained from the previous frame's chain outputs
+        (device handles — no host value in the loop). With pipelining on,
+        the previous frame is completed AFTER this frame's dispatch, so
+        its readback round trip overlaps this frame's execution; the two
+        modes consume bit-identical device values either way."""
+        prev = self._pending_fused
+        self._pending_fused = None
+        spec = None
+        pot_before = getattr(self, "_sel_pot", 3)
+        if prev is not None:
+            # speculative dispatch from the (not yet read back) chain
+            spec = self._dispatch_fused(image, shell, exposure, chain=prev)
+            redo = self._complete_fused(prev)
+            self._last_chain = None if redo else prev
+            if redo:
+                spec = None
+            elif getattr(self, "_sel_pot", 3) != pot_before:
+                # selector rung changed: the chain record stays a valid
+                # chaining source, but this frame's chain program was
+                # compiled for the old rung — re-dispatch chained below
+                # (bit-identical to what the sync driver would do)
+                spec = None
+        if self.is_lost or self.init_failed:
+            return
+        if spec is None:
+            spec = self._dispatch_fused(image, shell, exposure,
+                                        chain=self._last_chain)
+        if self._pipeline_ready():
+            self._pending_fused = spec
+        else:
+            redo = self._complete_fused(spec)
+            self._last_chain = None if redo else spec
+
+    def _dispatch_fused(self, image, shell, exposure, chain=None):
+        """Dispatch the fused frame step + keyframe chain. `chain` is the
+        previous frame's record (its chain outputs feed every input);
+        None falls back to host-computed inputs (after init, fallback
+        tracking, or a selector-rung change)."""
         s = self.settings
-        slot = len(self.frame_shell_idx)
-        if slot >= self.F:
-            raise RuntimeError("window overflow — marginalization failed")
-        first = len(self.kf_shell_ids) == 0
-        n_kf_next = len(self.kf_shell_ids) + 1
-        max_its = 20 if n_kf_next < 3 else \
-            (15 if n_kf_next < 4 else s.max_opt_iterations)
+        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
 
+        if chain is None:
+            hyps, _ = self._motion_hypotheses(lag=0)
+            aff0 = np.asarray(self.shells[-2].aff, np.float32) \
+                if len(self.shells) >= 2 else np.zeros(2, np.float32)
+            T_primary = jnp.asarray(hyps[0], jnp.float32)
+            aff0_j = jnp.asarray(aff0)
+            th = jnp.float32(self.last_coarse_rmse[0]
+                             * s.re_track_threshold)
+            ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+            T_ref = jnp.asarray(ref_shell.cam_to_world, jnp.float32)
+            ref_aff = jnp.asarray(self.ref_aff, jnp.float32)
+            ref_exp = jnp.float32(self.ref_exposure)
+            T_prev = jnp.asarray(
+                self.shells[-2].cam_to_world if len(self.shells) >= 2
+                else np.eye(4), jnp.float32)
+            prev_was_kf = jnp.asarray(
+                self.shells[-2].is_kf if len(self.shells) >= 2 else False)
+            last_rmse0 = jnp.float32(self.last_coarse_rmse[0])
+            n_kf_j = jnp.int32(len(self.kf_shell_ids))
+            host_out_j = jnp.asarray(self.host_out, jnp.int32)
+            ba_in, imm_in, dI_in = self.ba, self.imm, self.dI
+            min_act_in = jnp.asarray(self.current_min_act_dist, jnp.float32)
+            HdiF_in, templates_in, pc_in = (self.HdiF, self.templates,
+                                            self.pc_l0)
+            n_kf_next = len(self.kf_shell_ids) + 1
+            max_its = 20 if n_kf_next < 3 else \
+                (15 if n_kf_next < 4 else s.max_opt_iterations)
+        else:
+            nxt = chain["nxt"]
+            T_primary, aff0_j, th = nxt["T_primary"], nxt["aff"], nxt["th"]
+            T_ref, ref_aff = nxt["T_cw_ref"], nxt["ref_aff"]
+            ref_exp = nxt["ref_exp"]
+            T_prev = nxt["T_cw_prev"]
+            prev_was_kf = chain["need_kf_j"]
+            last_rmse0 = nxt["rms0"]
+            n_kf_j, host_out_j = nxt["n_kf"], nxt["host_out"]
+            (ba_in, imm_in, dI_in, min_act_in, HdiF_in, templates_in,
+             pc_in) = chain["state"]
+            max_its = s.max_opt_iterations   # chained only in steady state
+
+        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = \
+            _frame_step_jit(
+                jnp.asarray(image, jnp.float32), ba_in, imm_in,
+                templates_in, T_primary, T_ref, aff0_j, ref_aff, ref_exp,
+                jnp.float32(exposure), th,
+                s, self.w, self.h, self.n_levels, intr)
         need_kf_j = _need_kf_jit(
-            p["out_j"], p["accept_j"], jnp.float32(exposure),
-            jnp.float32(self.ref_exposure),
-            jnp.float32(self.first_coarse_rmse), jnp.asarray(first),
-            s, self.w, self.h)
-        k2 = jax.random.fold_in(self.key, shell.id)
-        outs = _kf_chain_jit(
-            need_kf_j, self.ba, p["imm_new"], self.dI, p["pyr"],
-            p["T_cw_new_j"], p["nxt"]["aff"],
-            jnp.float32(exposure), self._prior_row(first=first),
-            jnp.int32(slot), jnp.asarray(self.current_min_act_dist,
-                                         jnp.float32),
-            jnp.asarray(self.host_out),
-            jnp.int32(len(self.kf_shell_ids)), k2, p["stats_dev"],
+            out_j, accept_j, jnp.float32(exposure), ref_exp,
+            jnp.float32(self.first_coarse_rmse), n_kf_j, s, self.w, self.h)
+        state_o, readback, nxt_o = _kf_chain_jit(
+            need_kf_j, ba_in, imm_new, dI_in, pyr, out_j, T_cw_new_j,
+            jnp.float32(exposure), self._prior_row(first=False),
+            min_act_in, host_out_j, n_kf_j, self.key, jnp.int32(shell.id),
+            stats_dev, HdiF_in, templates_in, pc_in,
+            T_ref, ref_aff, ref_exp, T_prev, prev_was_kf, last_rmse0,
             max_its, s.min_opt_iterations, self.tmpl_sizes, pot, n_slots,
             s, self.w, self.h)
-        (ba_o, imm_o, dI_o, min_act_o, HdiF_o, templates_o, pc_o, stats_o,
-         T_cw_o, affs_o, marg_o, died_o, n_have_o, marg_ks_o, ecols_o,
-         marg_pts_o) = outs
-        fetch_tree = (need_kf_j, stats_o, T_cw_o, affs_o, marg_o, died_o,
-                      n_have_o, marg_ks_o, ecols_o, marg_pts_o)
+        fetch_tree = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
         prefetch(fetch_tree)
-        return dict(slot=slot, n_kf_next=n_kf_next, pot=pot,
-                    n_slots=n_slots,
-                    state=(ba_o, imm_o, dI_o, min_act_o, HdiF_o,
-                           templates_o, pc_o),
-                    fetch_tree=fetch_tree)
+        return dict(shell=shell, exposure=exposure, pyr=pyr,
+                    out_j=out_j, imm_new=imm_new, accept_j=accept_j,
+                    T_cw_new_j=T_cw_new_j, stats_dev=stats_dev,
+                    need_kf_j=need_kf_j, state=state_o, nxt=nxt_o,
+                    fetch_tree=fetch_tree, pot=pot)
 
-    def _finish_fused(self, p, ch):
-        """Single-fetch completion of a fused frame: one batched readback
-        of the step + chain results, then host bookkeeping."""
-        shell = p["shell"]
-        exposure = p["exposure"]
-        # one RPC: the step's own fetch inside _process_frame_step hits
-        # host-cached values afterwards
-        (need_kf, stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
-         ecols_np, marg_pts) = fetch((ch["fetch_tree"], p["fetch_tree"]))[0]
+    def _complete_fused(self, p) -> bool:
+        """ONE batched readback + host bookkeeping for a dispatched fused
+        frame. Returns True when dispatches chained from this frame's
+        outputs are invalid (fallback tracking used, or tracking lost)."""
+        shell, exposure = p["shell"], p["exposure"]
+        (need_kf, out, accept_np, T_cw_new,
+         (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks, ecols_np,
+          marg_pts, host_out_new, slot)) = fetch(p["fetch_tree"])
+
+        # adopt the chain's post-frame device state (pure passthrough for
+        # a non-keyframe — the handles are the same arrays)
+        (self.ba, self.imm, self.dI, self.current_min_act_dist, self.HdiF,
+         self.templates, self.pc_l0) = p["state"]
+        self.host_out = np.asarray(host_out_new, np.int64)
 
         with self.telemetry.timed("track"):
-            tres, pyr, traced, stats = self._process_frame_step(p, lag=0)
+            tres = self._finish_step_host(p, out, accept_np, T_cw_new)
         if tres is None:
             self.is_lost = True
             self._last_frame_was_kf = False
-            return
+            return True
+        traced = bool(accept_np)
         need_kf = bool(need_kf)
         self._last_frame_was_kf = need_kf
         self.telemetry.count("keyframes" if need_kf else "frames")
@@ -344,30 +396,30 @@ class FullSystem:
             # branch (need_kf was gated on accept); decide classically
             need_kf = self._keyframe_decision(tres, shell)
             self._last_frame_was_kf = need_kf
-            self._deliver_tracked_frame(pyr, shell, exposure, need_kf,
-                                        traced, stats)
-            return
+            self._deliver_tracked_frame(p["pyr"], shell, exposure, need_kf,
+                                        traced=False, stats=None)
+            return True
         if not need_kf:
-            return  # trace already applied inside the step
+            return False    # trace already applied inside the step
 
-        # ---- keyframe: adopt the chain's device state + host bookkeeping
+        # ---- keyframe: host bookkeeping on the fetched values ----
         import time as _time
         t0 = _time.time()
-        (self.ba, self.imm, self.dI, self.current_min_act_dist, self.HdiF,
-         self.templates, self.pc_l0) = ch["state"]
-        self._finish_kf_fused(p, ch, shell, exposure, stats_t, T_cw, affs,
-                              marg_np, died, n_have, marg_ks, ecols_np,
+        if int(slot) >= self.F:
+            raise RuntimeError("window overflow — marginalization failed")
+        self._finish_kf_fused(p, int(slot), shell, exposure, stats_t, T_cw,
+                              affs, marg_np, n_have, marg_ks, ecols_np,
                               marg_pts)
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
+        return False
 
-    def _finish_kf_fused(self, p, ch, shell, exposure, stats_t, T_cw, affs,
-                         marg_np, died, n_have, marg_ks, ecols_np,
+    def _finish_kf_fused(self, p, slot, shell, exposure, stats_t, T_cw,
+                         affs, marg_np, n_have, marg_ks, ecols_np,
                          marg_pts):
         """Host bookkeeping for a device-decided keyframe (the fetched
         values mirror _kf_finish_vision's single readback)."""
         s = self.settings
         pyr = p["pyr"]
-        slot = ch["slot"]
         self.frame_pyramids[slot] = pyr
         self.frame_shell_idx.append(self.shells.index(shell))
         self.kf_shell_ids.append(shell.id)
@@ -395,8 +447,8 @@ class FullSystem:
 
         marg_flags = [int(k) for k in marg_ks if k >= 0]   # descending
 
-        # point-marginalization bookkeeping + loop-closure cache
-        self.host_out += died
+        # point-marginalization loop-closure cache (host_out already
+        # device-evolved inside the chain and adopted in _complete_fused)
         if marg_np.any():
             b_host, b_u, b_v, b_id = marg_pts
             for hh, uu, vv, ii in zip(b_host[marg_np], b_u[marg_np],
@@ -407,7 +459,7 @@ class FullSystem:
         # rung changes take effect at the next keyframe's dispatch. When
         # prewarm() compiled a specific rung set, stay inside it — a rung
         # outside the set costs a multi-minute mid-run chain compile.
-        pot = ch["pot"]
+        pot = p["pot"]
         density = float(s.desired_immature_density)
         n_have = int(n_have)
         quotia = density / max(n_have, 1)
@@ -441,8 +493,6 @@ class FullSystem:
             self.frame_pyramids = (self.frame_pyramids[:k]
                                    + self.frame_pyramids[k + 1:] + [None])
             del self.frame_shell_idx[k]
-            self.host_out[k:-1] = self.host_out[k + 1:]
-            self.host_out[-1] = 0
             del self._marg_pts_cache[k]
             self._marg_pts_cache.append([])
             if self.ref_slot > k:
@@ -455,22 +505,12 @@ class FullSystem:
     def finish_pending(self) -> None:
         """Process the in-flight pipelined frame, if any. Must be called
         before reading trajectories/state at a sequence boundary."""
-        p = self._pending_frame
+        p = self._pending_fused
         if p is None:
             return
-        self._pending_frame = None
-        self._finish_frame(p, lag=0)
-
-    def _finish_frame(self, p, lag: int) -> bool:
-        """Fetch + complete a dispatched frame (tracking fallbacks, KF
-        decision, delivery). Returns True if the window state was mutated
-        beyond the speculative assumption (KF made, fallback used, or
-        tracking lost)."""
-        with self.telemetry.timed("track"):
-            tres, pyr, traced, stats = self._process_frame_step(p, lag=lag)
-        self._finish_tracked(tres, pyr, p["shell"], p["exposure"], traced,
-                             stats)
-        return (tres is None) or (not traced) or self._last_frame_was_kf
+        self._pending_fused = None
+        redo = self._complete_fused(p)
+        self._last_chain = None if redo else p
 
     def _finish_tracked(self, tres, pyr, shell, exposure, traced, stats):
         if tres is None:
@@ -686,49 +726,33 @@ class FullSystem:
         already ran inside the fused step; `stats` are the per-frame window
         stats for the marginalization flags."""
         p = self._dispatch_frame_step(image, shell, exposure)
-        return self._process_frame_step(p, lag=0)
+        return self._process_frame_step(p)
 
-    def _dispatch_frame_step(self, image, shell, exposure, dev_next=None,
-                             T_cw_prev_dev=None, imm_dev=None, lag=0):
-        """Dispatch the fused frame step and start its readback transfers.
-
-        dev_next: the previous step's device-side chaining outputs
-        (pipelined path — no host value is consulted); None computes the
-        primary hypothesis / affine / threshold on the host as before.
-        Returns the pending record consumed by _process_frame_step."""
+    def _dispatch_frame_step(self, image, shell, exposure):
+        """Dispatch the fused frame step from host-computed inputs (the
+        classic path) and start its readback transfers. Returns the
+        pending record consumed by _process_frame_step."""
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
-        exposures = np.array([self.ref_exposure, exposure], np.float32)
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
-        imm_in = self.imm if imm_dev is None else imm_dev
 
-        if dev_next is None:
-            # host inputs (numpy throughout — eager device ops block on the
-            # tunnel): affine init from the last frame (aff_last_2_l,
-            # FullSystem.cpp:148), constant-motion primary hypothesis
-            aff0 = np.asarray(self.shells[-2 - lag].aff, np.float32) \
-                if len(self.shells) >= 2 + lag else np.zeros(2, np.float32)
-            hyps, _ = self._motion_hypotheses(lag=lag)
-            T_primary = jnp.asarray(hyps[0], jnp.float32)
-            aff0_j = jnp.asarray(aff0)
-            achieve_th = jnp.float32(
-                self.last_coarse_rmse[0] * self.settings.re_track_threshold)
-            T_cw_prev = jnp.asarray(
-                self.shells[-2 - lag].cam_to_world
-                if len(self.shells) >= 2 + lag else np.eye(4), jnp.float32)
-        else:
-            T_primary = dev_next["T_primary"]
-            aff0_j = dev_next["aff"]
-            achieve_th = dev_next["th"]
-            T_cw_prev = T_cw_prev_dev
-        last_rmse0 = jnp.float32(self.last_coarse_rmse[0])
+        # host inputs (numpy throughout — eager device ops block on the
+        # tunnel): affine init from the last frame (aff_last_2_l,
+        # FullSystem.cpp:148), constant-motion primary hypothesis
+        aff0 = np.asarray(self.shells[-2].aff, np.float32) \
+            if len(self.shells) >= 2 else np.zeros(2, np.float32)
+        hyps, _ = self._motion_hypotheses(lag=0)
+        T_primary = jnp.asarray(hyps[0], jnp.float32)
+        achieve_th = jnp.float32(
+            self.last_coarse_rmse[0] * self.settings.re_track_threshold)
 
-        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats, nxt = \
+        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats = \
             _frame_step_jit(
-                jnp.asarray(image, jnp.float32), self.ba, imm_in,
+                jnp.asarray(image, jnp.float32), self.ba, self.imm,
                 self.templates, T_primary,
                 jnp.asarray(ref_shell.cam_to_world, jnp.float32),
-                aff0_j, jnp.asarray(self.ref_aff),
-                jnp.asarray(exposures), achieve_th, T_cw_prev, last_rmse0,
+                jnp.asarray(aff0), jnp.asarray(self.ref_aff),
+                jnp.float32(self.ref_exposure), jnp.float32(exposure),
+                achieve_th,
                 self.settings, self.w, self.h, self.n_levels, intr)
         fetch_tree = (out_j, accept_j, T_cw_new_j, (*stats, self.ba.exposure))
         # start the device->host copies NOW: by the time the (possibly
@@ -737,23 +761,39 @@ class FullSystem:
         return dict(shell=shell, exposure=exposure, pyr=pyr, out_j=out_j,
                     imm_new=imm_new, accept_j=accept_j,
                     T_cw_new_j=T_cw_new_j, stats_dev=stats,
-                    nxt=nxt, fetch_tree=fetch_tree, exposures=exposures)
+                    fetch_tree=fetch_tree)
 
-    def _process_frame_step(self, p, lag=0):
-        """Consume a pending frame-step record: fetch, run the fallback
-        phases if the primary was rejected, update the shell. Returns
-        (tres, pyramid, traced, stats) like the old fused path."""
+    def _process_frame_step(self, p):
+        """Consume a pending classic frame-step record: fetch, run the
+        fallback phases if the primary was rejected, update the shell.
+        Returns (tres, pyramid, traced, stats)."""
+        # keep the device-resident stats so a keyframe can dispatch its
+        # whole chain (flags included) without another readback
+        self._stats_dev = p["stats_dev"]
+        out, accept_np, T_cw_new, stats = fetch(p["fetch_tree"])
+        traced = bool(accept_np)
+        if traced:
+            self.imm = p["imm_new"]
+        tres = self._finish_step_host(p, out, accept_np, T_cw_new)
+        return tres, p["pyr"], traced, stats
+
+    def _finish_step_host(self, p, out, accept_np, T_cw_new):
+        """Shared host completion of a fused frame step: fallback tracking
+        phases 2/3 when the primary hypothesis was rejected, then the
+        shell pose/affine update. Does NOT touch self.imm (callers adopt
+        the device-selected immature state themselves)."""
         shell = p["shell"]
         exposure = p["exposure"]
         pyr = p["pyr"]
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
+        exposures = np.array([self.ref_exposure, exposure], np.float32)
 
         def run_batch(T_list, aff0, min_level=0):
             Ts = np.stack([np.asarray(t, np.float32) for t in T_list])
             out = TK.track_hypotheses(
                 pyr, self.templates, Ts, aff0, self.ref_aff,
-                p["exposures"], intr, self.n_levels, min_level=min_level,
+                exposures, intr, self.n_levels, min_level=min_level,
                 coarse_cutoff_th=self.settings.coarse_cutoff_th,
                 huber=self.settings.huber_th,
             )
@@ -769,24 +809,18 @@ class FullSystem:
             b = c[np.argmin(res[c])]
             return int(b), float(res[b])
 
-        # keep the device-resident stats so a keyframe can dispatch its
-        # whole chain (flags included) without another readback
-        self._stats_dev = p["stats_dev"]
-        out, accept_np, T_cw_new, stats = fetch(p["fetch_tree"])
         achieve_th = self.last_coarse_rmse[0] * \
             self.settings.re_track_threshold
         best, achieved = pick(out)
         traced = bool(accept_np)
-        if traced:
-            self.imm = p["imm_new"]
         # `traced` is authoritative: the device-side accept decision also
         # selected which imm to keep, so the host must not second-guess it
         # (f32 vs f64 boundary ties would desync pose and trace)
         if not traced and (best is None or achieved >= achieve_th):
             # phase 2: the remaining standard hypotheses, full track
-            hyps, perturbed = self._motion_hypotheses(lag=lag)
-            aff0 = np.asarray(self.shells[-2 - lag].aff, np.float32) \
-                if len(self.shells) >= 2 + lag else np.zeros(2, np.float32)
+            hyps, perturbed = self._motion_hypotheses(lag=0)
+            aff0 = np.asarray(self.shells[-2].aff, np.float32) \
+                if len(self.shells) >= 2 else np.zeros(2, np.float32)
             if len(hyps) > 1:
                 out2 = run_batch(_pad_hyps(hyps[1:], 5), aff0)
                 b2, a2 = pick(out2)
@@ -808,9 +842,9 @@ class FullSystem:
 
         if best is None:
             shell.pose_valid = False
-            shell.cam_to_world = self.shells[-2 - lag].cam_to_world if \
-                len(self.shells) > 1 + lag else np.eye(4)
-            return None, pyr, False, stats
+            shell.cam_to_world = self.shells[-2].cam_to_world if \
+                len(self.shells) > 1 else np.eye(4)
+            return None
 
         T_ref_to_new = out["T"][best]
         aff = out["aff"][best]
@@ -827,8 +861,7 @@ class FullSystem:
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = float(residuals[0])
         return dict(res=residuals, flow=flow, aff=aff,
-                    T_ref_to_new=T_ref_to_new, exposure=exposure), \
-            pyr, traced, stats
+                    T_ref_to_new=T_ref_to_new, exposure=exposure)
 
     def _keyframe_decision(self, tres, shell) -> bool:
         """Optical-flow/brightness heuristic (FullSystem.cpp:709-732)."""
@@ -1512,16 +1545,19 @@ class FullSystem:
                 n_slots)[4])
             if self._fused_kf_active():
                 # the fused chain is one big program per pot rung: compile
-                # it (identity branch dispatch) before the timed loop
-                stats0 = _frame_stats_jit(self.ba, self.imm)
-                outs.append(_kf_chain_jit(
-                    jnp.asarray(False), self.ba, self.imm, self.dI, pyr,
-                    jnp.eye(4, dtype=jnp.float32), aff0, jnp.float32(1.0),
-                    jnp.zeros(8), jnp.int32(0),
-                    jnp.float32(self.current_min_act_dist),
-                    jnp.asarray(self.host_out), jnp.int32(1), k2, stats0,
-                    s.max_opt_iterations, s.min_opt_iterations,
-                    self.tmpl_sizes, pot, n_slots, s, self.w, self.h)[12])
+                # it (identity-branch dispatch through the production
+                # driver so the program structure matches exactly)
+                saved_pot = getattr(self, "_sel_pot", 3)
+                saved_last = self._last_chain
+                self._sel_pot = pot
+                dummy = FrameShell(id=990000 + i, timestamp=0.0,
+                                   cam_to_world=np.eye(4),
+                                   aff=np.zeros(2))
+                img0 = jnp.zeros((self.h, self.w), jnp.float32)
+                rec = self._dispatch_fused(img0, dummy, 1.0, chain=None)
+                outs.append(rec["fetch_tree"])
+                self._sel_pot = saved_pot
+                self._last_chain = saved_last
         jax.block_until_ready(outs)
 
     # ------------------------------------------------------------------
@@ -1773,19 +1809,36 @@ def _flag_frames_jit(pt_in, imm_in, aff, T_cw, exp, frame_valid, host_out,
 
 @functools.partial(jax.jit, static_argnames=("sizes", "pot", "n_slots",
                                              "settings", "w", "h"))
-def _kf_chain_jit(need_kf, ba, imm, dI, pyr, T_cw_new, aff_new, exposure,
-                  prior_row, slot, min_act_dist, host_out, n_kf, key,
-                  stats_dev, max_its, min_its, sizes, pot, n_slots,
-                  settings, w, h):
+def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
+                  prior_row, min_act_dist, host_out, n_kf, key0, shell_id,
+                  stats_dev, HdiF_in, templates_in, pc_in,
+                  T_cw_ref_in, ref_aff_in, ref_exp_in, T_cw_prev_in,
+                  prev_was_kf, last_rmse0,
+                  max_its, min_its, sizes, pot, n_slots, settings, w, h):
     """The ENTIRE keyframe chain (marg flags + insert/activate/BA/template
     + point marg/selection + up to MAX_MARG_FRAMES frame marginalizations),
     cond-gated on the device-side keyframe decision.
 
     Dispatched EVERY frame right after the fused step: non-keyframes run
-    the identity branch (state passes through untouched), keyframes run the
-    full chain — either way the host needs only ONE readback per frame and
-    never sits between the decision and the chain."""
+    the identity branch (full state passes through untouched), keyframes
+    run the full chain. Either way the outputs are the COMPLETE post-frame
+    state plus the next frame's dispatch inputs (`nxt`: constant-motion
+    primary hypothesis, tracking-reference pose/affine/exposure, achieve
+    threshold, device-evolved host_out / keyframe counters) — so the next
+    frame's step AND chain can dispatch with zero host readbacks, keyframe
+    or not. The host fetches one batched readback per frame, purely for
+    bookkeeping.
+
+    Returns (state, readback, nxt):
+      state    = (ba, imm, dI, min_act_dist, HdiF, templates, pc_l0)
+      readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks,
+                  ecols, marg_pts, host_out, slot)
+      nxt      = dict of next-frame chaining inputs
+    """
     s = settings
+    slot = jnp.sum(ba.frame_valid).astype(jnp.int32)
+    key = jax.random.fold_in(key0, shell_id)
+    aff_new = out_step["aff"][0]
 
     def run(_):
         pt_in, imm_in, aff_j, T_cw_stats = stats_dev
@@ -1801,38 +1854,65 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, T_cw_new, aff_new, exposure,
             ba2, imm2, dI2, HdiF2, flags, pyr[0], slot, key,
             jnp.float32(s.desired_immature_density), s, w, h, pot, n_slots)
         dI3 = dI2
+        host_out2 = host_out + died
         ecols = []
         for j in range(MAX_MARG_FRAMES):
             ba3, imm3, dI3, e_col, n_col = _maybe_marg_frame_jit(
                 ba3, imm3, dI3, marg_ks, j, s, w, h)
+            host_out2 = _shift_host_out(host_out2, marg_ks[j])
             ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
-        return (ba3, imm3, dI3, min_act2, HdiF2, templates2, pc2,
-                (stats["energy"], stats["rmse"], stats["n_its"],
-                 stats["n_active"], stats["is_lost"]),
-                T_cw_all, affs, marg, died, n_have, marg_ks,
-                jnp.stack(ecols), marg_pts)
+        return ((ba3, imm3, dI3, min_act2, HdiF2, templates2, pc2),
+                ((stats["energy"], stats["rmse"], stats["n_its"],
+                  stats["n_active"], stats["is_lost"]),
+                 T_cw_all, affs, marg, died, n_have, marg_ks,
+                 jnp.stack(ecols), marg_pts, host_out2))
 
     def skip(_):
         F, P = ba.F, ba.P
-        HdiF0 = jnp.zeros(P)
-        templates0 = tuple(
-            TK.LevelTemplate(
-                u=jnp.zeros(sz), v=jnp.zeros(sz), idepth=jnp.zeros(sz),
-                color=jnp.zeros(sz), valid=jnp.zeros(sz, bool))
-            for sz in sizes)
-        pc0 = (jnp.zeros(sizes[0]), jnp.zeros(sizes[0]),
-               jnp.zeros(sizes[0]), jnp.zeros(sizes[0], bool))
-        return (ba, imm, dI, min_act_dist, HdiF0, templates0, pc0,
-                (jnp.float32(0), jnp.float32(0), jnp.int32(0), jnp.int32(0),
-                 jnp.array(False)),
-                jnp.zeros((F, 4, 4)), jnp.zeros((F, 2)),
-                jnp.zeros(P, bool), jnp.zeros(F, jnp.int32), jnp.int32(0),
-                jnp.full((MAX_MARG_FRAMES,), -1, jnp.int32),
-                jnp.zeros((MAX_MARG_FRAMES, 2)),
-                (jnp.zeros(P, jnp.int32), jnp.zeros(P), jnp.zeros(P),
-                 jnp.zeros(P)))
+        return ((ba, imm, dI, min_act_dist, HdiF_in, templates_in, pc_in),
+                ((jnp.float32(0), jnp.float32(0), jnp.int32(0),
+                  jnp.int32(0), jnp.array(False)),
+                 jnp.zeros((F, 4, 4)), jnp.zeros((F, 2)),
+                 jnp.zeros(P, bool), jnp.zeros(F, jnp.int32), jnp.int32(0),
+                 jnp.full((MAX_MARG_FRAMES,), -1, jnp.int32),
+                 jnp.zeros((MAX_MARG_FRAMES, 2)),
+                 (jnp.zeros(P, jnp.int32), jnp.zeros(P), jnp.zeros(P),
+                  jnp.zeros(P)),
+                 host_out))
 
-    return jax.lax.cond(need_kf, run, skip, None)
+    state, readback = jax.lax.cond(need_kf, run, skip, None)
+    (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols, marg_pts,
+     host_out_o) = readback
+
+    # ---- next-frame chaining inputs (FullSystem.cpp:148-173 equivalents,
+    # computed from the post-frame state so a keyframe needs no redo) ----
+    res0 = out_step["residuals"][0, 0]
+    rms0 = jnp.where(jnp.isfinite(res0), res0, last_rmse0)
+    T_kf = T_cw_all[slot]                   # post-BA pose of this frame
+    aff_kf = affs[slot]
+    T_me = jnp.where(need_kf, T_kf, T_cw_new)
+    T_ref_n = jnp.where(need_kf, T_kf, T_cw_ref_in)
+    # the previous frame's final pose: BA moved it iff it was a keyframe
+    # (then it sits at window slot slot-1 of the post-BA pose array)
+    T_prev_f = jnp.where(need_kf & prev_was_kf,
+                         T_cw_all[jnp.maximum(slot - 1, 0)], T_cw_prev_in)
+    fh_2_sl = lie.se3_inv(T_prev_f) @ T_me          # assumed const motion
+    lastF_2_sl = lie.se3_inv(T_me) @ T_ref_n
+    nxt = dict(
+        T_primary=lie.se3_inv(fh_2_sl) @ lastF_2_sl,
+        aff=jnp.where(need_kf, aff_kf, aff_new),
+        th=rms0 * s.re_track_threshold,
+        rms0=rms0,
+        T_cw_ref=T_ref_n,
+        ref_aff=jnp.where(need_kf, aff_kf, ref_aff_in),
+        ref_exp=jnp.where(need_kf, exposure, ref_exp_in),
+        T_cw_prev=T_me,
+        n_kf=n_kf + need_kf.astype(jnp.int32),
+        host_out=host_out_o,
+    )
+    readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols,
+                marg_pts, host_out_o, slot)
+    return state, readback, nxt
 
 
 @functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
@@ -1933,7 +2013,7 @@ def _marg_select_jit(ba, imm, dI, HdiF, flagged_hosts, dI0, slot, key,
 @functools.partial(jax.jit,
                    static_argnames=("settings", "w", "h", "n_levels", "intr"))
 def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
-                    ref_aff, exposures, achieve_th, T_cw_prev, last_rmse0,
+                    ref_aff, ref_exp, exposure, achieve_th,
                     settings, w, h, n_levels, intr):
     """Fused steady-state frame step — ONE dispatch for the typical frame:
     pyramid build + primary-hypothesis coarse track (trackNewCoarse try 0,
@@ -1941,11 +2021,12 @@ def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
     FullSystem.cpp:311-361, applied only if the track achieves) + per-frame
     window stats for the marginalization flags.
 
-    Also emits the NEXT frame's chaining inputs (constant-motion primary
-    hypothesis from (T_cw_prev, this pose), tracked affine, achieve
-    threshold) so a pipelined driver can dispatch frame i+1 before frame
-    i's results are ever read back."""
+    Every input that depends on the previous frame's outcome (primary
+    hypothesis, tracking reference pose/affine/exposure, achieve threshold)
+    can be fed directly from the previous frame's `_kf_chain_jit` outputs —
+    the host never has to read anything back between frames."""
     pyr, _ = build_pyramid(image, n_levels)
+    exposures = jnp.stack([ref_exp, exposure])
     # direct single-hypothesis track (no 1-wide vmap: the batch dim forces
     # (1, ...) layouts through the whole cascade); keep the leading axis on
     # the outputs for interface parity with the batched fallback phases
@@ -1962,23 +2043,12 @@ def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
                             exposures[1], w, h, settings)
     imm = jax.tree.map(lambda a, b: jnp.where(accept, a, b), imm_traced, imm)
     stats = _frame_stats_jit(ba, imm)
-
-    # next-frame chaining inputs (valid when `accept`; a pipelined driver
-    # redispatches from host state otherwise)
-    rms0 = jnp.where(jnp.isfinite(res0), res0, last_rmse0)
-    fh_2_sl = lie.se3_inv(T_cw_prev) @ T_cw_new
-    lastF_2_sl = lie.se3_inv(T_cw_new) @ T_cw_ref
-    nxt = dict(
-        T_primary=lie.se3_inv(fh_2_sl) @ lastF_2_sl,
-        aff=out["aff"][0],
-        th=rms0 * settings.re_track_threshold,
-    )
-    return pyr, out, imm, accept, T_cw_new, stats, nxt
+    return pyr, out, imm, accept, T_cw_new, stats
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
 def _need_kf_jit(out, accept, exposure_new, ref_exposure, first_rmse,
-                 first_kf, settings, w, h):
+                 n_kf, settings, w, h):
     """Device-side keyframe decision — the same optical-flow/brightness
     heuristic as FullSystem._keyframe_decision (FullSystem.cpp:709-732),
     computed from the fused step's outputs so the whole keyframe chain can
@@ -2001,8 +2071,19 @@ def _need_kf_jit(out, accept, exposure_new, ref_exposure, first_rmse,
     # first_rmse < 0 means no frame has been tracked yet; the host sets it
     # to this frame's res0 before deciding, so the gate is never triggered
     first_eff = jnp.where(first_rmse < 0, res0, first_rmse)
-    decide = (score > 1.0) | (2.0 * first_eff < res0) | first_kf
+    decide = (score > 1.0) | (2.0 * first_eff < res0) | (n_kf == 0)
     return accept & decide
+
+
+def _shift_host_out(ho, k):
+    """Delete row k of the per-host dead-point counters and append a zero
+    (the device analog of the host_out list compaction on frame
+    marginalization); identity when k < 0."""
+    F = ho.shape[0]
+    idx = jnp.arange(F)
+    src = jnp.where(idx < k, idx, jnp.minimum(idx + 1, F - 1))
+    shifted = ho[src].at[F - 1].set(0)
+    return jnp.where(k >= 0, shifted, ho)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "settings"))

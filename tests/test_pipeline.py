@@ -1,7 +1,9 @@
-"""1-deep speculative pipelining (FullSystem.pipeline=True): the pipelined
-driver must produce the same trajectory and keyframe set as the synchronous
-path on the same sequence (speculative dispatches that get invalidated by a
-keyframe or tracking fallback are redone from host state)."""
+"""1-deep pipelining of the fused driver (FullSystem.pipeline).
+
+Sync and pipelined modes consume bit-identical chained device values (the
+keyframe chain emits the complete next-frame dispatch state); pipelining
+only changes WHEN the host reads results back, never what the device
+computes — so the trajectories and keyframe sets must match exactly."""
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +40,7 @@ def _run(pipeline: bool):
     return fs, np.asarray(poses)
 
 
-def test_pipelined_matches_sync():
-    """The speculative pipeline chains the primary hypothesis in device
-    f32 (the sync path computes it in host f64), so keyframe decisions
-    near the threshold may flip by a frame — the contract is matching
-    accuracy and comparable cadence, not identical keyframe sets."""
+def test_pipelined_bitwise_matches_sync():
     fs_s, poses = _run(pipeline=False)
     fs_p, _ = _run(pipeline=True)
     assert not fs_p.is_lost and not fs_p.init_failed
@@ -50,22 +48,13 @@ def test_pipelined_matches_sync():
 
     traj_s = fs_s.trajectory()
     traj_p = fs_p.trajectory()
-    assert abs(len(traj_s) - len(traj_p)) <= 3, (len(traj_s), len(traj_p))
-
-    gt = poses[:, :3, 3]
-    path = np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1))
-
-    def ate(traj):
-        ids = traj[:, 0].astype(int)
-        est, g = traj[:, 1:4], gt[ids]
-        en, gn = np.linalg.norm(est, axis=1), np.linalg.norm(g, axis=1)
-        nz = gn > 1e-6
-        s = np.median(en[nz] / gn[nz]) if nz.any() else 1.0
-        return np.sqrt(np.mean(
-            np.linalg.norm(est / max(s, 1e-9) - g, axis=1) ** 2))
-
-    gate = 0.05 * max(path, 1e-9) + 0.01
-    assert ate(traj_s) < gate and ate(traj_p) < gate
+    assert traj_s[:, 0].astype(int).tolist() == \
+        traj_p[:, 0].astype(int).tolist(), "keyframe sets differ"
+    np.testing.assert_array_equal(traj_s[:, 1:4], traj_p[:, 1:4])
+    np.testing.assert_array_equal(np.asarray(fs_s.ba.state),
+                                  np.asarray(fs_p.ba.state))
+    np.testing.assert_array_equal(np.asarray(fs_s.ba.pt_valid),
+                                  np.asarray(fs_p.ba.pt_valid))
 
 
 def test_pipelined_accuracy():
