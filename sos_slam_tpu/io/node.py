@@ -67,6 +67,11 @@ class SlamNode:
         self.fs.output_wrappers.append(self.pose_recorder)
         self.fs.output_wrappers.extend(self.extra_wrappers)
         self._restarted = self.prev_kf_size > 0
+        if self._restarted:
+            # carry the trajectory across the restart: the rebuilt system's
+            # first KF resumes at the pre-failure pose
+            # (SlamNode.cpp:174-189 `fullSystem->curPose = lastPose`)
+            self.fs.initial_pose = np.asarray(self.cur_pose).copy()
 
     def _preprocess(self, image, und, photo):
         """Photometric correction + remap: fused native C++ path when

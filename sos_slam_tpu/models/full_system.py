@@ -151,6 +151,11 @@ class FullSystem:
 
         self.shells: List[FrameShell] = []
         self.kf_shell_ids: List[int] = []
+        # carried-over world pose for reinitialization: when set (by
+        # SlamNode after an init failure), the rebuilt system's first KF
+        # starts here instead of the gravity-aligned origin
+        # (SlamNode.cpp:174-189 curPose carry + FullSystem.cpp:1040-1042)
+        self.initial_pose: Optional[np.ndarray] = None
         self.host_out = np.zeros(F, np.int64)  # per-slot dead-point counts
         # per-slot caches of marginalized points ([u, v, idepth] rows) — the
         # analog of pointHessiansMarginalized, used by the loop closure
@@ -570,6 +575,12 @@ class FullSystem:
                 + s_t * K
             ric = np.asarray(self.settings.rot_imu_cam).reshape(3, 3)
             T0[:3, :3] = (rot_w_i0 @ ric).astype(np.float32)
+
+        # reinitialization: a carried-over pose overrides the fresh origin
+        # (FullSystem.cpp:1040-1042: curPose kept unless ~identity)
+        if self.initial_pose is not None and \
+                np.linalg.norm(lie.np_se3_log(self.initial_pose)) > 1e-3:
+            T0 = np.asarray(self.initial_pose, np.float32)
 
         first_shell = self.init_first_shell
         prior0 = self._prior_row(first=True)

@@ -56,7 +56,7 @@ def test_reinitialization_preserves_history():
     node = make_node()
     calib = synthetic.default_calib(W, H)
     twist = jnp.array([0.05, 0.02, 0.03, 0.003, 0.006, 0.002])
-    n = 22
+    n = 34
     imgs, _, _ = synthetic.make_sequence(calib, n, twist, plane_z=2.0)
     # long enough for the window to fill and marginalization to start
     for i in range(16):
@@ -64,6 +64,7 @@ def test_reinitialization_preserves_history():
     kfs_before = node.fs.stats["n_kf"]
     assert kfs_before > 2
     loop_before = len(node.loop.frames)
+    pose_at_failure = np.asarray(node.cur_pose).copy()
     # force an initialization failure (the reference's rmse-gate outcome)
     node.fs.init_failed = True
     node.process(np.asarray(imgs[16]), 16 * 0.05)
@@ -76,6 +77,13 @@ def test_reinitialization_preserves_history():
     assert node.n_frames == n
     # loop handler history was NOT cleared by the restart
     assert len(node.loop.frames) >= loop_before
+    # trajectory continuity: the rebuilt system's first keyframe resumes at
+    # the pre-failure pose instead of teleporting to the origin
+    # (SlamNode.cpp:174-189 curPose carry + FullSystem.cpp:1040-1042)
+    assert node.fs.initialized, "fresh system failed to re-initialize"
+    first_kf = next(sh for sh in node.fs.shells if sh.is_kf)
+    np.testing.assert_allclose(first_kf.cam_to_world, pose_at_failure,
+                               atol=1e-5)
 
 
 def test_output_wrappers_receive_events():
