@@ -7,14 +7,24 @@ assembles the imitated-LiDAR scan, matches Scan Context descriptors,
 verifies candidates by direct alignment then ICP, and maintains the SE(3)
 pose graph (odometry edges weighted by dso_error/scale_error).
 
+Like the reference (LoopHandler.cpp:48-49,222-234) the work runs on a
+WORKER THREAD behind a queue: `on_keyframe` only enqueues, so place
+recognition / verification / pose-graph optimization never stall the
+keyframe path. Construct with `async_mode=False` for deterministic
+synchronous processing (tests); `join()` drains the queue either way.
+
 Pose-graph optimization runs only when a loop edge is added — without loop
 edges the graph is a chain with its last vertex fixed, whose optimum is the
 odometry itself (the reference optimizes every frame with incremental g2o;
-the fixed point is identical).
+the fixed point is identical). After optimization every frame's pose is
+rewritten and pushed to attached viewers (modifyKeyframePoseByKFID,
+LoopHandler.cpp:352-372), matching the reference's write-back.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -36,7 +46,8 @@ MAX_LOOP_PTS = 2048
 
 class LoopHandler:
     def __init__(self, settings: Settings, intrinsics, n_levels: int,
-                 ringkey_margin: int = SC.LOOP_MARGIN):
+                 ringkey_margin: int = SC.LOOP_MARGIN,
+                 async_mode: bool = True):
         self.settings = settings
         self.intrinsics = intrinsics
         self.n_levels = n_levels
@@ -46,17 +57,58 @@ class LoopHandler:
             if self.enable else None
         self.ringkeys = SC.RingkeyIndex(margin=ringkey_margin)
         self.frames: List[dict] = []       # one record per marginalized KF
+        self.viewers: List = []            # MapViewer-likes for write-back
         self.n_loop_edges = 0
         self.n_direct = 0
         self.n_icp = 0
         self.timing: Dict[str, List[float]] = dict(
             scan=[], ringkey=[], sc=[], direct=[], icp=[], graph=[])
+        # worker thread + queue (LoopHandler.cpp:48-49,222-234); the lock
+        # guards self.frames against save_poses/trajectory readers
+        self.lock = threading.RLock()
+        self.async_mode = async_mode
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        if async_mode:
+            self._worker = threading.Thread(target=self._run, daemon=True,
+                                            name="loop-handler")
+            self._worker.start()
+
+    def attach_viewer(self, viewer) -> None:
+        """Register a MapViewer-like consumer for loop write-backs."""
+        self.viewers.append(viewer)
 
     # ------------------------------------------------------------------
     def on_keyframe(self, rec: dict):
-        """rec: dict from FullSystem._export_kf with keys
-        shell, pts_uvdi (M,3) [u,v,idepth_metric], intensities (M,L),
-        pyramid (levels tuple), dso_error, scale_error."""
+        """Producer side (publishKeyframes final=true): enqueue and return.
+        rec: dict from FullSystem._export_kf with keys shell, pts_uvdi
+        (M,3) [u,v,idepth_metric], intensities (M,L), pyramid (levels
+        tuple), dso_error, scale_error."""
+        if self.async_mode:
+            self._queue.put(rec)
+        else:
+            self._process(rec)
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        """Drain the queue (reference Output3DWrapper::join contract)."""
+        if self.async_mode:
+            self._queue.join()
+
+    def close(self) -> None:
+        self.join()
+
+    def _run(self):
+        while True:
+            rec = self._queue.get()
+            try:
+                self._process(rec)
+            except Exception as e:   # never kill the worker
+                print(f"[loop-handler] error: {e!r}")
+            finally:
+                self._queue.task_done()
+
+    # ------------------------------------------------------------------
+    def _process(self, rec: dict):
         import time as _time
         sh = rec["shell"]
         T_wc = np.asarray(
@@ -66,7 +118,7 @@ class LoopHandler:
         frame = dict(
             kf_id=len(self.frames), incoming_id=sh.id, shell=sh,
             T_wc=T_wc.copy(), T_opt=T_wc.copy(),
-            edges=[], sig=None, pts_sc=np.zeros((0, 3)),
+            edges=[], loop_edges=[], sig=None, pts_sc=np.zeros((0, 3)),
             T_sc_rig=np.eye(4), pyramid=rec.get("pyramid"),
             dso_error=rec.get("dso_error", np.nan),
             scale_error=rec.get("scale_error", -1.0),
@@ -75,18 +127,19 @@ class LoopHandler:
         )
 
         # odometry edge to the previous KF (LoopHandler.cpp:236-244)
-        if self.frames:
-            prv = self.frames[-1]
-            T_prv_cur = np.linalg.inv(prv["T_wc"]) @ T_wc
-            dso_err = frame["dso_error"]
-            if np.isfinite(dso_err):
-                info = PG.edge_information(
-                    max(DSO_ERROR_SCALE * dso_err, 1e-9),
-                    SCALE_ERROR_SCALE * frame["scale_error"])
-                frame["edges"].append(dict(
-                    id_from=prv["kf_id"], T_from_to=T_prv_cur,
-                    info=np.asarray(info)))
-        self.frames.append(frame)
+        with self.lock:
+            if self.frames:
+                prv = self.frames[-1]
+                T_prv_cur = np.linalg.inv(prv["T_wc"]) @ T_wc
+                dso_err = frame["dso_error"]
+                if np.isfinite(dso_err):
+                    info = PG.edge_information(
+                        max(DSO_ERROR_SCALE * dso_err, 1e-9),
+                        SCALE_ERROR_SCALE * frame["scale_error"])
+                    frame["edges"].append(dict(
+                        id_from=prv["kf_id"], T_from_to=T_prv_cur,
+                        info=np.asarray(info)))
+            self.frames.append(frame)
 
         if not self.enable or frame["scale_error"] < 0:
             return
@@ -116,6 +169,12 @@ class LoopHandler:
             pts_sc, T_sc_rig, self.settings.loop_lidar_range)
         frame["sig"] = sig
         self.timing["scan"].append(_time.time() - t0)
+
+        # lidar-panel refresh (reference refreshLidarData, :378-388)
+        scan_pts = np.asarray(pts_sc)
+        for v in self.viewers:
+            v.publish_scan(scan_pts, scan_pts)
+
         if not usable:
             self.ringkeys.search_and_insert(ringkey * 0 + 1e9)  # keep margin
             return
@@ -189,51 +248,81 @@ class LoopHandler:
         info = PG.edge_information(
             max(pose_error, 1e-9),
             SCALE_ERROR_SCALE * matched["scale_error"])
-        frame["edges"].append(dict(
+        frame["loop_edges"].append(dict(
             id_from=matched["kf_id"], T_from_to=np.linalg.inv(T_cm),
             info=np.asarray(info)))
         self.n_loop_edges += 1
+        for v in self.viewers:
+            v.publish_loop_edge(frame["kf_id"], matched["kf_id"])
+
         self._optimize_graph()
+
+        # merge the matched frame's scan into the panel (reference
+        # LoopHandler.cpp:369-375)
+        if len(matched["pts_sc"]):
+            hom = np.concatenate(
+                [matched["pts_sc"], np.ones((len(matched["pts_sc"]), 1))], 1)
+            merged = (T_cm @ hom.T).T[:, :3]
+            acc = np.concatenate([frame["pts_sc"], merged], 0)
+            for v in self.viewers:
+                v.publish_scan(np.asarray(frame["pts_sc"]), acc)
 
     # ------------------------------------------------------------------
     def _optimize_graph(self):
         import time as _time
         t0 = _time.time()
-        n = len(self.frames)
-        N = 1 << max(4, (n - 1).bit_length())
-        T = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
-        for i, f in enumerate(self.frames):
-            T[i] = f["T_opt"]
-        v_valid = np.arange(N) < n
-        fixed = ~v_valid
-        fixed[n - 1] = True          # fix the newest vertex
-        # frames with NaN dso_error start new sequences: fix them too
-        edges = []
-        for f in self.frames:
-            for e in f["edges"]:
-                edges.append((e["id_from"], f["kf_id"], e["T_from_to"],
-                              e["info"]))
-        if not edges:
+        with self.lock:
+            n = len(self.frames)
+            N = 1 << max(4, (n - 1).bit_length())
+            T = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+            for i, f in enumerate(self.frames):
+                T[i] = f["T_opt"]
+            v_valid = np.arange(N) < n
+            fixed = ~v_valid
+            fixed[n - 1] = True          # fix the newest vertex
+            chain, loops = [], []
+            for f in self.frames:
+                for e in f["edges"]:
+                    chain.append((e["id_from"], f["kf_id"], e["T_from_to"],
+                                  e["info"]))
+                for e in f["loop_edges"]:
+                    loops.append((e["id_from"], f["kf_id"], e["T_from_to"],
+                                  e["info"]))
+        if not chain and not loops:
             return
-        E = 1 << max(4, (len(edges) - 1).bit_length())
-        e_from = np.zeros(E, np.int32)
-        e_to = np.zeros(E, np.int32)
-        e_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
-        e_info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
-        e_valid = np.zeros(E, bool)
-        for i, (a, b, m, info) in enumerate(edges):
-            e_from[i], e_to[i] = a, b
-            e_meas[i] = m
-            e_info[i] = info
-            e_valid[i] = True
 
+        def pack(edges, cap_min=16):
+            E = 1 << max(cap_min.bit_length() - 1,
+                         (max(len(edges), 1) - 1).bit_length())
+            e_from = np.zeros(E, np.int32)
+            e_to = np.zeros(E, np.int32)
+            e_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+            e_info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
+            e_valid = np.zeros(E, bool)
+            for i, (a, b, m, info) in enumerate(edges):
+                e_from[i], e_to[i] = a, b
+                e_meas[i] = m
+                e_info[i] = info
+                e_valid[i] = True
+            return e_from, e_to, e_meas, e_info, e_valid
+
+        cf, ct, cm, ci, cv = pack(chain)
+        lf, lt, lm, li, lv = pack(loops)
         T_out = PG.optimize_pose_graph(
             jnp.asarray(T), jnp.asarray(v_valid), jnp.asarray(fixed),
-            jnp.asarray(e_from), jnp.asarray(e_to), jnp.asarray(e_meas),
-            jnp.asarray(e_info), jnp.asarray(e_valid))
+            jnp.asarray(cf), jnp.asarray(ct), jnp.asarray(cm),
+            jnp.asarray(ci), jnp.asarray(cv),
+            jnp.asarray(lf), jnp.asarray(lt), jnp.asarray(lm),
+            jnp.asarray(li), jnp.asarray(lv))
         T_out = np.asarray(fetch(T_out), np.float64)
-        for i, f in enumerate(self.frames):
-            f["T_opt"] = T_out[i]
+        with self.lock:
+            # write back every pose (reference rewrites lf->tfm_w_c and
+            # notifies the viewer, LoopHandler.cpp:352-368)
+            for i, f in enumerate(self.frames):
+                f["T_opt"] = T_out[i]
+                f["T_wc"] = T_out[i].copy()
+                for v in self.viewers:
+                    v.modify_keyframe_pose_by_kf_id(f["kf_id"], T_out[i])
         self.timing["graph"].append(_time.time() - t0)
 
     # ------------------------------------------------------------------
@@ -241,7 +330,8 @@ class LoopHandler:
         """poses.txt contract: `incoming_id x y z` per KF
         (LoopHandler::savePose, LoopHandler.cpp:62-76). fmt="tum" writes
         `timestamp tx ty tz qx qy qz qw` for TUM evaluation tools."""
-        with open(path, "w") as f:
+        self.join()
+        with self.lock, open(path, "w") as f:
             for fr in self.frames:
                 T = fr["T_opt"]
                 t = T[:3, 3]
@@ -255,8 +345,10 @@ class LoopHandler:
                             f"{t[2]:.6f}\n")
 
     def trajectory(self) -> np.ndarray:
-        return np.array([[f["incoming_id"], *f["T_opt"][:3, 3]]
-                         for f in self.frames])
+        self.join()
+        with self.lock:
+            return np.array([[f["incoming_id"], *f["T_opt"][:3, 3]]
+                             for f in self.frames])
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:

@@ -285,8 +285,11 @@ class FullSystem:
         if self.is_lost or self.init_failed:
             return
         if spec is None:
-            spec = self._dispatch_fused(image, shell, exposure,
-                                        chain=self._last_chain)
+            # chained dispatch assumes the steady-state BA iteration budget;
+            # during bootstrap (n_kf < 4: 20/15-iteration keyframes) the
+            # dispatch must come from host state with the right budget
+            src = self._last_chain if len(self.kf_shell_ids) >= 4 else None
+            spec = self._dispatch_fused(image, shell, exposure, chain=src)
         if self._pipeline_ready():
             self._pending_fused = spec
         else:
@@ -308,6 +311,8 @@ class FullSystem:
             aff0 = np.asarray(self.shells[-2].aff, np.float32) \
                 if len(self.shells) >= 2 else np.zeros(2, np.float32)
             T_primary = jnp.asarray(hyps[0], jnp.float32)
+            T_hyps = jnp.asarray(
+                np.stack(_pad_hyps(hyps[1:], 5)), jnp.float32)
             aff0_j = jnp.asarray(aff0)
             th = jnp.float32(self.last_coarse_rmse[0]
                              * s.re_track_threshold)
@@ -333,6 +338,7 @@ class FullSystem:
         else:
             nxt = chain["nxt"]
             T_primary, aff0_j, th = nxt["T_primary"], nxt["aff"], nxt["th"]
+            T_hyps = nxt["T_hyps"]
             T_ref, ref_aff = nxt["T_cw_ref"], nxt["ref_aff"]
             ref_exp = nxt["ref_exp"]
             T_prev = nxt["T_cw_prev"]
@@ -346,8 +352,8 @@ class FullSystem:
         pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = \
             _frame_step_jit(
                 jnp.asarray(image, jnp.float32), ba_in, imm_in,
-                templates_in, T_primary, T_ref, aff0_j, ref_aff, ref_exp,
-                jnp.float32(exposure), th,
+                templates_in, T_primary, T_hyps, T_ref, aff0_j, ref_aff,
+                ref_exp, jnp.float32(exposure), th,
                 s, self.w, self.h, self.n_levels, intr)
         need_kf_j = _need_kf_jit(
             out_j, accept_j, jnp.float32(exposure), ref_exp,
@@ -753,13 +759,14 @@ class FullSystem:
             if len(self.shells) >= 2 else np.zeros(2, np.float32)
         hyps, _ = self._motion_hypotheses(lag=0)
         T_primary = jnp.asarray(hyps[0], jnp.float32)
+        T_hyps = jnp.asarray(np.stack(_pad_hyps(hyps[1:], 5)), jnp.float32)
         achieve_th = jnp.float32(
             self.last_coarse_rmse[0] * self.settings.re_track_threshold)
 
         pyr, out_j, imm_new, accept_j, T_cw_new_j, stats = \
             _frame_step_jit(
                 jnp.asarray(image, jnp.float32), self.ba, self.imm,
-                self.templates, T_primary,
+                self.templates, T_primary, T_hyps,
                 jnp.asarray(ref_shell.cam_to_world, jnp.float32),
                 jnp.asarray(aff0), jnp.asarray(self.ref_aff),
                 jnp.float32(self.ref_exposure), jnp.float32(exposure),
@@ -828,28 +835,23 @@ class FullSystem:
         # selected which imm to keep, so the host must not second-guess it
         # (f32 vs f64 boundary ties would desync pose and trace)
         if not traced and (best is None or achieved >= achieve_th):
-            # phase 2: the remaining standard hypotheses, full track
-            hyps, perturbed = self._motion_hypotheses(lag=0)
+            # the fused step already ran the standard-hypothesis retry
+            # (tries 0-4) on device; only the rotation-perturbed restart
+            # phase is left — screened at the coarsest level, full track
+            # on the best 2 (FullSystem.cpp:190)
+            _, perturbed = self._motion_hypotheses(lag=0)
             aff0 = np.asarray(self.shells[-2].aff, np.float32) \
                 if len(self.shells) >= 2 else np.zeros(2, np.float32)
-            if len(hyps) > 1:
-                out2 = run_batch(_pad_hyps(hyps[1:], 5), aff0)
-                b2, a2 = pick(out2)
-                if b2 is not None and a2 < achieved:
-                    out, best, achieved = out2, b2, a2
-            if best is None or achieved >= achieve_th:
-                # phase 3: rotation-perturbed restarts screened at the
-                # coarsest level (FullSystem.cpp:190), full track on best 2
-                coarse = run_batch(perturbed, aff0,
-                                   min_level=self.n_levels - 1)
-                res_c = coarse["residuals"][:, self.n_levels - 1]
-                res_c = np.where(np.isfinite(res_c), res_c, np.inf)
-                top2 = np.argsort(res_c)[:2]
-                out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5),
-                                 aff0)
-                b3, a3 = pick(out3)
-                if b3 is not None and a3 < achieved:
-                    out, best, achieved = out3, b3, a3
+            coarse = run_batch(perturbed, aff0,
+                               min_level=self.n_levels - 1)
+            res_c = coarse["residuals"][:, self.n_levels - 1]
+            res_c = np.where(np.isfinite(res_c), res_c, np.inf)
+            top2 = np.argsort(res_c)[:2]
+            out3 = run_batch(_pad_hyps([perturbed[i] for i in top2], 5),
+                             aff0)
+            b3, a3 = pick(out3)
+            if b3 is not None and a3 < achieved:
+                out, best, achieved = out3, b3, a3
 
         if best is None:
             shell.pose_valid = False
@@ -1909,8 +1911,15 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
                          T_cw_all[jnp.maximum(slot - 1, 0)], T_cw_prev_in)
     fh_2_sl = lie.se3_inv(T_prev_f) @ T_me          # assumed const motion
     lastF_2_sl = lie.se3_inv(T_me) @ T_ref_n
+    # standard retry hypotheses (trackNewCoarse tries 1-4,
+    # FullSystem.cpp:193-208): double / half / last / zero motion
+    fh_inv = lie.se3_inv(fh_2_sl)
+    dbl = fh_inv @ fh_inv @ lastF_2_sl
+    half = lie.se3_exp(-0.5 * lie.se3_log(fh_2_sl)) @ lastF_2_sl
+    eye4 = jnp.eye(4)
     nxt = dict(
-        T_primary=lie.se3_inv(fh_2_sl) @ lastF_2_sl,
+        T_primary=fh_inv @ lastF_2_sl,
+        T_hyps=jnp.stack([dbl, half, lastF_2_sl, eye4, eye4]),
         aff=jnp.where(need_kf, aff_kf, aff_new),
         th=rms0 * s.re_track_threshold,
         rms0=rms0,
@@ -2023,19 +2032,21 @@ def _marg_select_jit(ba, imm, dI, HdiF, flagged_hosts, dI0, slot, key,
 
 @functools.partial(jax.jit,
                    static_argnames=("settings", "w", "h", "n_levels", "intr"))
-def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
-                    ref_aff, ref_exp, exposure, achieve_th,
+def _frame_step_jit(image, ba, imm, templates, T_primary, T_hyps, T_cw_ref,
+                    aff0, ref_aff, ref_exp, exposure, achieve_th,
                     settings, w, h, n_levels, intr):
     """Fused steady-state frame step — ONE dispatch for the typical frame:
     pyramid build + primary-hypothesis coarse track (trackNewCoarse try 0,
-    FullSystem.cpp:270) + conditional immature-point trace (traceNewCoarse,
-    FullSystem.cpp:311-361, applied only if the track achieves) + per-frame
-    window stats for the marginalization flags.
+    FullSystem.cpp:270) + cond-gated standard-hypothesis retry (tries 1-4,
+    FullSystem.cpp:227-270 — runs only when the primary misses the achieve
+    threshold, so threshold-edge frames never detour through the host) +
+    conditional immature-point trace (traceNewCoarse, FullSystem.cpp:311-361,
+    applied only if the best track achieves) + per-frame window stats.
 
-    Every input that depends on the previous frame's outcome (primary
-    hypothesis, tracking reference pose/affine/exposure, achieve threshold)
-    can be fed directly from the previous frame's `_kf_chain_jit` outputs —
-    the host never has to read anything back between frames."""
+    Every input that depends on the previous frame's outcome (hypotheses,
+    tracking reference pose/affine/exposure, achieve threshold) can be fed
+    directly from the previous frame's `_kf_chain_jit` outputs — the host
+    never has to read anything back between frames."""
     pyr, _ = build_pyramid(image, n_levels)
     exposures = jnp.stack([ref_exp, exposure])
     # direct single-hypothesis track (no 1-wide vmap: the batch dim forces
@@ -2048,7 +2059,30 @@ def _frame_step_jit(image, ba, imm, templates, T_primary, T_cw_ref, aff0,
         huber=settings.huber_th)
     out = jax.tree.map(lambda a: a[None], out1)
     res0 = out["residuals"][0, 0]
-    accept = out["good"][0] & jnp.isfinite(res0) & (res0 < achieve_th)
+    prim_ok = out["good"][0] & jnp.isfinite(res0) & (res0 < achieve_th)
+
+    def retry(_):
+        outb = TK.track_hypotheses(
+            pyr, templates, T_hyps, aff0, ref_aff, exposures, tuple(intr),
+            n_levels, coarse_cutoff_th=settings.coarse_cutoff_th,
+            huber=settings.huber_th)
+        resb = outb["residuals"][:, 0]
+        resb = jnp.where(outb["good"] & jnp.isfinite(resb), resb, jnp.inf)
+        bi = jnp.argmin(resb)
+        best = jax.tree.map(lambda a: a[bi][None], outb)
+        res_p = jnp.where(out["good"][0] & jnp.isfinite(res0), res0, jnp.inf)
+        use_prim = res_p <= resb[bi]
+        return jax.tree.map(lambda a, b: jnp.where(use_prim, a, b), out,
+                            best)
+
+    out = jax.lax.cond(prim_ok, lambda _: out, retry, None)
+    res_best = out["residuals"][0, 0]
+    # accept the best-of-retry up to the escalation bound: the reference
+    # takes the best hypothesis even over the achieve threshold after its
+    # escalation ladder; only a genuinely broken track (res far over the
+    # threshold) falls back to the host's rotation-restart phase
+    accept = out["good"][0] & jnp.isfinite(res_best) \
+        & (res_best < achieve_th * settings.re_track_escalation)
     T_cw_new = T_cw_ref @ jnp.linalg.inv(out["T"][0])
     imm_traced = _trace_jit(ba, imm, pyr[0], T_cw_new, out["aff"][0],
                             exposures[1], w, h, settings)

@@ -87,6 +87,12 @@ class Settings:
     outlier_th_sum_component: float = 50.0 * 50.0
     marg_weight_fac: float = 0.5 * 0.5
     re_track_threshold: float = 1.5
+    # TPU addition: after the fused step's on-device standard-hypothesis
+    # retry, the best result is accepted up to this factor over the achieve
+    # threshold (the reference would run its 78 rotation restarts and, in
+    # practice, keep the same best; escalating to that host phase only pays
+    # when tracking has genuinely broken — see _frame_step_jit)
+    re_track_escalation: float = 4.0
     min_good_active_res_for_marg: int = 3
     min_good_res_for_marg: int = 4
     photometric_calibration: int = 2
