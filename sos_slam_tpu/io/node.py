@@ -61,6 +61,15 @@ class SlamNode:
         self._new_system()
         self.n_frames = 0
 
+    def add_viewer(self, viewer) -> None:
+        """Register a MapViewer-like wrapper: receives the publisher events
+        AND the loop closure's pose write-backs (the reference wires the
+        Pangolin viewer into both, SlamNode.cpp:56-60 +
+        LoopHandler.cpp:352-372)."""
+        self.extra_wrappers.append(viewer)
+        self.fs.output_wrappers.append(viewer)
+        self.loop.attach_viewer(viewer)
+
     def _new_system(self):
         self.fs = FullSystem(self.calib, self.settings, stereo=self.stereo)
         self.fs.marg_callbacks.append(self._on_marginalized_kf)

@@ -20,6 +20,24 @@ from sos_slam_tpu.utils.config import default_settings
 LIDAR_RANGE = 30.0
 
 
+class RecordingViewer:
+    """Minimal MapViewer stand-in recording the loop write-backs."""
+
+    def __init__(self):
+        self.edges = []
+        self.modified = {}
+        self.scans = 0
+
+    def publish_loop_edge(self, a, b):
+        self.edges.append((a, b))
+
+    def publish_scan(self, cur, acc):
+        self.scans += 1
+
+    def modify_keyframe_pose_by_kf_id(self, kf_id, T):
+        self.modified[kf_id] = np.asarray(T).copy()
+
+
 def make_environment(seed=0, n=1500):
     """Pillars + ground inside a 60m square (camera y is 'up' negative)."""
     rng = np.random.RandomState(seed)
@@ -53,6 +71,7 @@ def closed_loop():
                                 loop_icp_thres=1.0, scan_context_thres=0.42)
     lh = LoopHandler(settings, intrinsics=((300.0, 300.0, 128.0, 96.0),),
                      n_levels=1, ringkey_margin=6)
+    lh.attach_viewer(RecordingViewer())
     env = make_environment()
     rng = np.random.RandomState(42)
 
@@ -95,6 +114,7 @@ def closed_loop():
                             intensities=np.zeros((len(pts_uvdi), 1),
                                                  np.float32),
                             pyramid=None, dso_error=1.0, scale_error=2.0))
+    lh.join()     # drain the async loop worker before inspecting state
     return lh, gt, odo
 
 
@@ -102,6 +122,20 @@ def test_loop_edge_found(closed_loop):
     lh, gt, odo = closed_loop
     assert lh.n_loop_edges >= 1, "no loop closure fired"
     assert lh.n_icp >= 1
+
+
+def test_viewer_write_back(closed_loop):
+    """After a closure the optimized poses must be pushed to the viewer
+    (modifyKeyframePoseByKFID, LoopHandler.cpp:352-372) along with the
+    loop-edge line and the merged scan panel."""
+    lh, gt, odo = closed_loop
+    v = lh.viewers[0]
+    assert len(v.edges) == lh.n_loop_edges >= 1
+    assert v.scans >= 1
+    assert len(v.modified) == len(lh.frames)
+    for f in lh.frames:
+        np.testing.assert_allclose(v.modified[f["kf_id"]], f["T_opt"],
+                                   atol=1e-9)
 
 
 def test_drift_corrected(closed_loop):

@@ -45,6 +45,8 @@ def run_with_loop(tmp_path_factory):
                             image_right=img_r)
         if fs.is_lost or fs.init_failed:
             break
+    fs.finish_pending()
+    lh.join()     # drain the async loop worker before inspecting state
     return fs, lh, np.asarray(poses)
 
 
