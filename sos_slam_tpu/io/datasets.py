@@ -88,6 +88,115 @@ class EurocReader:
             yield rec
 
 
+class MalagaReader:
+    """Malaga Urban dataset extract (reference tests/Malaga bundle):
+    `<root>/Images/img_CAMERA1_<timestamp>_left.jpg` + `_right.jpg` pairs;
+    the timestamp (seconds) is embedded in the filename."""
+
+    def __init__(self, root: str, stereo: bool = True, start: int = 0,
+                 end: Optional[int] = None):
+        img_dir = os.path.join(root, "Images")
+        if not os.path.isdir(img_dir):
+            img_dir = root
+        lefts = sorted(
+            glob.glob(os.path.join(img_dir, "*_left.jpg"))
+            + glob.glob(os.path.join(img_dir, "*_left.png")))
+        self.pairs = []
+        for lp in lefts:
+            t = self._timestamp(lp)
+            if t is None:
+                continue
+            rp = lp.replace("_left.", "_right.")
+            self.pairs.append((t, lp, rp if (stereo and os.path.exists(rp))
+                               else None))
+        self.pairs.sort()
+        self.pairs = self.pairs[start:end]
+        self.stereo = stereo
+
+    @staticmethod
+    def _timestamp(path: str) -> Optional[float]:
+        # img_CAMERA1_1261228749.918590_left.jpg
+        base = os.path.basename(path)
+        parts = base.split("_")
+        for p in reversed(parts[:-1]):
+            try:
+                return float(p)
+            except ValueError:
+                continue
+        return None
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __iter__(self) -> Iterator[dict]:
+        for t, lp, rp in self.pairs:
+            yield dict(
+                t=t, image=_read_image(lp), imu=[],
+                image_right=_read_image(rp) if rp else None,
+            )
+
+
+class RobotCarReader:
+    """Oxford RobotCar (reference tests/RobotCar bundle, preset 2):
+    `<root>/stereo/left|right/<timestamp>.png` with timestamps in
+    microseconds (from `stereo.timestamps` when present, else the
+    filenames). Raw Bayer frames reduce to grayscale through the
+    channel-mean in `_read_image` — adequate for the photometric
+    front-end, which works on intensity only."""
+
+    def __init__(self, root: str, stereo: bool = True, start: int = 0,
+                 end: Optional[int] = None):
+        base = os.path.join(root, "stereo")
+        if not os.path.isdir(base):
+            base = root
+        left_dir = None
+        for cand in ("left", "centre", "center"):
+            d = os.path.join(base, cand)
+            if os.path.isdir(d):
+                left_dir = d
+                break
+        if left_dir is None:
+            raise FileNotFoundError(f"no stereo/left|centre under {root}")
+        right_dir = os.path.join(base, "right")
+        self.left = sorted(glob.glob(os.path.join(left_dir, "*.png")))
+        self.right_by_t = {}
+        if stereo and os.path.isdir(right_dir):
+            for p in glob.glob(os.path.join(right_dir, "*.png")):
+                self.right_by_t[self._stamp(p)] = p
+        ts_file = os.path.join(root, "stereo.timestamps")
+        stamps = {}
+        if os.path.exists(ts_file):
+            with open(ts_file) as f:
+                for line in f:
+                    cols = line.split()
+                    if cols:
+                        stamps[int(cols[0])] = int(cols[0])
+        self.frames = []
+        for p in self.left:
+            s = self._stamp(p)
+            if stamps and s not in stamps:
+                continue
+            self.frames.append((s, p))
+        self.frames.sort()
+        self.frames = self.frames[start:end]
+        self.stereo = stereo
+
+    @staticmethod
+    def _stamp(path: str) -> int:
+        return int(os.path.splitext(os.path.basename(path))[0])
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self) -> Iterator[dict]:
+        for s, p in self.frames:
+            rp = self.right_by_t.get(s)
+            yield dict(
+                t=s * 1e-6, image=_read_image(p), imu=[],
+                image_right=_read_image(rp) if rp else None,
+            )
+
+
 class KittiReader:
     """KITTI odometry: sequences/NN/image_0/*.png + times.txt."""
 
