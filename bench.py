@@ -91,6 +91,31 @@ def main():
     except Exception:
         ate, path = -1.0, -1.0
 
+    # second scene at a realistic (~10%) keyframe cadence: the primary
+    # scene's motion forces ~46% keyframes, which over-weights the KF path;
+    # real EuRoC sequences keyframe every ~10 frames. Same resolution, so
+    # every compiled program is reused — only execution is measured.
+    lo_fps, lo_kf, lo_frames = -1.0, 0, 0
+    if ok and fps > 0:
+        twist2 = jnp.array([0.006, 0.0024, 0.004, 0.0004, 0.0008, 0.0002])
+        imgs2, _, _ = synthetic.make_sequence(calib, N_FRAMES, twist2,
+                                              plane_z=2.0)
+        imgs2 = jax.block_until_ready(imgs2)
+        fs2 = FullSystem(calib, settings)
+        t2 = []
+        for i in range(N_FRAMES):
+            t0 = time.time()
+            fs2.add_active_frame(imgs2[i], timestamp=i * 0.05, frame_id=i)
+            jax.block_until_ready(fs2.ba.state)
+            t2.append(time.time() - t0)
+            if fs2.is_lost or fs2.init_failed:
+                break
+        fs2.finish_pending()
+        W2 = 14   # init finishes well before; no fresh compiles expected
+        if not (fs2.is_lost or fs2.init_failed) and len(t2) == N_FRAMES:
+            lo_fps = (N_FRAMES - W2) / sum(t2[W2:])
+            lo_kf, lo_frames = fs2.stats["n_kf"], fs2.stats["n_frames"]
+
     print(json.dumps({
         "metric": "tracked_fps_synthetic_640x480_full_pipeline",
         "value": round(fps, 3),
@@ -102,6 +127,8 @@ def main():
             "n_frames": fs.stats["n_frames"],
             "ate_m": round(ate, 4),
             "path_m": round(path, 3),
+            "fps_low_cadence": round(lo_fps, 3),
+            "n_kf_low_cadence": lo_kf,
             "platform": jax.devices()[0].platform,
         },
     }))

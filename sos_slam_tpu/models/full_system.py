@@ -545,6 +545,7 @@ class FullSystem:
                 pyr, absgrads, self.calib, self.settings, self.key)
             self.init_first_pyr = pyr
             self.init_first_shell = shell
+            self.init_first_exposure = exposure
             shell.is_kf = True
             return
         self.initializer, done = CI.track_frame(
@@ -590,8 +591,10 @@ class FullSystem:
 
         first_shell = self.init_first_shell
         prior0 = self._prior_row(first=True)
-        self.ba = WIN.insert_frame(self.ba, jnp.asarray(T0), jnp.zeros(2),
-                                   jnp.asarray(1.0), prior0)
+        self.ba = WIN.insert_frame(
+            self.ba, jnp.asarray(T0), jnp.zeros(2),
+            jnp.asarray(getattr(self, "init_first_exposure", 1.0),
+                        jnp.float32), prior0)
         self.dI = self.dI.at[0].set(self.init_first_pyr[0])
         self.frame_pyramids[0] = self.init_first_pyr
         self.frame_shell_idx = [self.shells.index(first_shell)]

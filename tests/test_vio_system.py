@@ -106,7 +106,12 @@ def test_metric_scale_from_imu(run_vio):
     gn = np.linalg.norm(gt, axis=1)
     nz = gn > 1e-6
     s_true = np.median(gn[nz] / en[nz])
-    assert abs(s - s_true) / s_true < 0.2, (s, s_true)
+    # e2e scale accuracy is excitation-limited on this gentle trajectory
+    # (accelerations ~0.1-0.3 m/s^2 let scale trade off against the
+    # accelerometer-bias random walk — same behavior as the reference);
+    # the tight 2% gate lives at the solver level on model-consistent
+    # data (test_imu.py::TestSolve::test_scale_recovered_within_2pct)
+    assert abs(s - s_true) / s_true < 0.12, (s, s_true)
 
 
 def test_metric_trajectory_vio(run_vio):
