@@ -246,10 +246,11 @@ class FullSystem:
         """Fused per-frame dispatch: the keyframe decision runs ON DEVICE
         (_need_kf_jit) and the whole keyframe chain dispatches cond-gated
         right behind the frame step — one readback per frame, keyframe or
-        not. Mono vision only (scale-opt/VIO keep the classic path)."""
+        not. Covers mono and stereo (the scale solve runs inside the
+        chain); VIO keeps the classic path (the IMU sample intake depends
+        on host-known keyframe boundaries)."""
         return (self.fused_kf and self.initialized
-                and not self.settings.enable_imu
-                and not self.settings.enable_scale_opt)
+                and not self.settings.enable_imu)
 
     def _pipeline_ready(self) -> bool:
         """1-deep pipelining waits for the bootstrap to settle: after 4
@@ -306,6 +307,23 @@ class FullSystem:
         pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
 
+        # stereo inputs (the scale solve runs inside the chain)
+        stereo_static = None
+        img_right = jnp.zeros((1, 1), jnp.float32)
+        have_right = jnp.asarray(False)
+        T_lr_j = jnp.eye(4, dtype=jnp.float32)
+        if s.enable_scale_opt and self.stereo is not None:
+            cr = self.stereo.calib_right
+            stereo_static = (intr, tuple(cr.intrinsics(l)
+                                         for l in range(self.n_levels)))
+            T_lr_j = jnp.asarray(self.stereo.T_lr, jnp.float32)
+            if self._pending_right is not None:
+                img_right = self._pending_right
+                have_right = jnp.asarray(True)
+            else:
+                img_right = jnp.zeros((cr.heights[0], cr.widths[0]),
+                                      jnp.float32)
+
         if chain is None:
             hyps, _ = self._motion_hypotheses(lag=0)
             aff0 = np.asarray(self.shells[-2].aff, np.float32) \
@@ -332,6 +350,9 @@ class FullSystem:
             min_act_in = jnp.asarray(self.current_min_act_dist, jnp.float32)
             HdiF_in, templates_in, pc_in = (self.HdiF, self.templates,
                                             self.pc_l0)
+            scale_state = (jnp.float32(self.current_scale),
+                           jnp.asarray(self.scale_trapped),
+                           jnp.int32(self.scale_opt_fails))
             n_kf_next = len(self.kf_shell_ids) + 1
             max_its = 20 if n_kf_next < 3 else \
                 (15 if n_kf_next < 4 else s.max_opt_iterations)
@@ -345,6 +366,7 @@ class FullSystem:
             prev_was_kf = chain["need_kf_j"]
             last_rmse0 = nxt["rms0"]
             n_kf_j, host_out_j = nxt["n_kf"], nxt["host_out"]
+            scale_state = nxt["scale_state"]
             (ba_in, imm_in, dI_in, min_act_in, HdiF_in, templates_in,
              pc_in) = chain["state"]
             max_its = s.max_opt_iterations   # chained only in steady state
@@ -364,8 +386,9 @@ class FullSystem:
             min_act_in, host_out_j, n_kf_j, self.key, jnp.int32(shell.id),
             stats_dev, HdiF_in, templates_in, pc_in,
             T_ref, ref_aff, ref_exp, T_prev, prev_was_kf, last_rmse0,
+            img_right, have_right, T_lr_j, scale_state,
             max_its, s.min_opt_iterations, self.tmpl_sizes, pot, n_slots,
-            s, self.w, self.h)
+            s, self.w, self.h, stereo=stereo_static)
         fetch_tree = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
         prefetch(fetch_tree)
         return dict(shell=shell, exposure=exposure, pyr=pyr,
@@ -381,7 +404,7 @@ class FullSystem:
         shell, exposure = p["shell"], p["exposure"]
         (need_kf, out, accept_np, T_cw_new,
          (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks, ecols_np,
-          marg_pts, host_out_new, slot)) = fetch(p["fetch_tree"])
+          marg_pts, host_out_new, slot, scale_o)) = fetch(p["fetch_tree"])
 
         # adopt the chain's post-frame device state (pure passthrough for
         # a non-keyframe — the handles are the same arrays)
@@ -420,13 +443,13 @@ class FullSystem:
             raise RuntimeError("window overflow — marginalization failed")
         self._finish_kf_fused(p, int(slot), shell, exposure, stats_t, T_cw,
                               affs, marg_np, n_have, marg_ks, ecols_np,
-                              marg_pts)
+                              marg_pts, scale_o)
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
         return False
 
     def _finish_kf_fused(self, p, slot, shell, exposure, stats_t, T_cw,
                          affs, marg_np, n_have, marg_ks, ecols_np,
-                         marg_pts):
+                         marg_pts, scale_o=None):
         """Host bookkeeping for a device-decided keyframe (the fetched
         values mirror _kf_finish_vision's single readback)."""
         s = self.settings
@@ -454,6 +477,12 @@ class FullSystem:
         self.ref_slot = len(self.frame_shell_idx) - 1
         self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
         self.ref_exposure = exposure
+        if s.enable_scale_opt and scale_o is not None:
+            s_val, trapped_v, fails_v, err_v = scale_o
+            shell.scale_error = float(err_v)
+            self.current_scale = float(s_val)
+            self.scale_trapped = bool(trapped_v)
+            self.scale_opt_fails = int(fails_v)
         self._update_scaled_poses()
 
         marg_flags = [int(k) for k in marg_ks if k >= 0]   # descending
@@ -1824,13 +1853,15 @@ def _flag_frames_jit(pt_in, imm_in, aff, T_cw, exp, frame_valid, host_out,
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "pot", "n_slots",
-                                             "settings", "w", "h"))
+                                             "settings", "w", "h", "stereo"))
 def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
                   prior_row, min_act_dist, host_out, n_kf, key0, shell_id,
                   stats_dev, HdiF_in, templates_in, pc_in,
                   T_cw_ref_in, ref_aff_in, ref_exp_in, T_cw_prev_in,
                   prev_was_kf, last_rmse0,
-                  max_its, min_its, sizes, pot, n_slots, settings, w, h):
+                  img_right, have_right, T_lr, scale_state,
+                  max_its, min_its, sizes, pot, n_slots, settings, w, h,
+                  stereo=None):
     """The ENTIRE keyframe chain (marg flags + insert/activate/BA/template
     + point marg/selection + up to MAX_MARG_FRAMES frame marginalizations),
     cond-gated on the device-side keyframe decision.
@@ -1877,11 +1908,37 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
                 ba3, imm3, dI3, marg_ks, j, s, w, h)
             host_out2 = _shift_host_out(host_out2, marg_ks[j])
             ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
+
+        # stereo 1-DoF scale solve on the fresh template (optimizeScale,
+        # FullSystem.cpp:1117-1180) with trapping / fail counting
+        if stereo is not None:
+            from sos_slam_tpu.ops import scale_opt as SO
+            intr0, intr1 = stereo
+            pyr_r, _ = build_pyramid(img_right, len(pyr))
+            s_cur, trapped, fails = scale_state
+            R01, t01 = T_lr[:3, :3], T_lr[:3, 3]
+
+            def do_trap(_):
+                return SO.optimize_scale(pyr_r, templates2, s_cur, R01,
+                                         t01, intr0, intr1, len(pyr))
+
+            def do_multi(_):
+                return SO.optimize_scale_multi_guess(
+                    pyr_r, templates2, R01, t01, intr0, intr1, len(pyr))
+
+            s_new, err = jax.lax.cond(trapped, do_trap, do_multi, None)
+            err = jnp.where(have_right, err, jnp.float32(-1.0))
+            ok = (err > 0) & (err < s.scale_opt_thres)
+            fails2 = jnp.where(ok, 0, fails + 1)
+            trapped2 = jnp.where(ok, True, trapped & (fails2 <= 5))
+            scale_out = (jnp.where(ok, s_new, s_cur), trapped2, fails2, err)
+        else:
+            scale_out = (*scale_state, jnp.float32(-1.0))
         return ((ba3, imm3, dI3, min_act2, HdiF2, templates2, pc2),
                 ((stats["energy"], stats["rmse"], stats["n_its"],
                   stats["n_active"], stats["is_lost"]),
                  T_cw_all, affs, marg, died, n_have, marg_ks,
-                 jnp.stack(ecols), marg_pts, host_out2))
+                 jnp.stack(ecols), marg_pts, host_out2, scale_out))
 
     def skip(_):
         F, P = ba.F, ba.P
@@ -1894,11 +1951,11 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
                  jnp.zeros((MAX_MARG_FRAMES, 2)),
                  (jnp.zeros(P, jnp.int32), jnp.zeros(P), jnp.zeros(P),
                   jnp.zeros(P)),
-                 host_out))
+                 host_out, (*scale_state, jnp.float32(-1.0))))
 
     state, readback = jax.lax.cond(need_kf, run, skip, None)
     (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols, marg_pts,
-     host_out_o) = readback
+     host_out_o, scale_o) = readback
 
     # ---- next-frame chaining inputs (FullSystem.cpp:148-173 equivalents,
     # computed from the post-frame state so a keyframe needs no redo) ----
@@ -1932,9 +1989,10 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
         T_cw_prev=T_me,
         n_kf=n_kf + need_kf.astype(jnp.int32),
         host_out=host_out_o,
+        scale_state=scale_o[:3],
     )
     readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols,
-                marg_pts, host_out_o, slot)
+                marg_pts, host_out_o, slot, scale_o)
     return state, readback, nxt
 
 
