@@ -190,6 +190,7 @@ class FullSystem:
         self._last_frame_was_kf = False
         self._stats_dev = None
         self.pc_l0 = None
+        self._last_bg = None         # host-cached gyro bias (fused VIO)
         # fused per-frame dispatch with the device-side KF decision
         # (default on for mono vision; see _fused_kf_active)
         self.fused_kf = True
@@ -247,17 +248,27 @@ class FullSystem:
         (_need_kf_jit) and the whole keyframe chain dispatches cond-gated
         right behind the frame step — one readback per frame, keyframe or
         not. Covers mono and stereo (the scale solve runs inside the
-        chain); VIO keeps the classic path (the IMU sample intake depends
-        on host-known keyframe boundaries)."""
-        return (self.fused_kf and self.initialized
-                and not self.settings.enable_imu)
+        chain) and, once the IMU is initialized (5th KF), VIO: the chain
+        consumes a host-staged candidate IMU-sample block gated on the
+        device keyframe decision, and the host reconciles its sample queue
+        from the fetched decision. The VIO bootstrap (gravity init, the
+        5th-KF IMU initialization with its host-side failure gate) stays
+        on the classic path."""
+        if not (self.fused_kf and self.initialized):
+            return False
+        if self.settings.enable_imu:
+            return self.imu_initialized
+        return True
 
     def _pipeline_ready(self) -> bool:
         """1-deep pipelining waits for the bootstrap to settle: after 4
         keyframes the BA iteration budget and the init-failure RMSE gates
         are constant, so a pending frame's chain can dispatch with the
-        steady-state parameters."""
-        return self.pipeline and len(self.kf_shell_ids) >= 4
+        steady-state parameters. VIO stays synchronous: each dispatch
+        stages IMU samples from the host queue, whose consumption depends
+        on the previous frame's keyframe outcome."""
+        return (self.pipeline and len(self.kf_shell_ids) >= 4
+                and not self.settings.enable_imu)
 
     def _add_frame_fused(self, image, shell, exposure):
         """Fused driver: dispatch this frame's step + cond-gated keyframe
@@ -288,8 +299,11 @@ class FullSystem:
         if spec is None:
             # chained dispatch assumes the steady-state BA iteration budget;
             # during bootstrap (n_kf < 4: 20/15-iteration keyframes) the
-            # dispatch must come from host state with the right budget
-            src = self._last_chain if len(self.kf_shell_ids) >= 4 else None
+            # dispatch must come from host state with the right budget.
+            # VIO always dispatches from host state (the staged IMU block
+            # and the host queue must stay consistent frame to frame).
+            src = self._last_chain if (len(self.kf_shell_ids) >= 4 and
+                                       not self.settings.enable_imu) else None
             spec = self._dispatch_fused(image, shell, exposure, chain=src)
         if self._pipeline_ready():
             self._pending_fused = spec
@@ -380,36 +394,75 @@ class FullSystem:
         need_kf_j = _need_kf_jit(
             out_j, accept_j, jnp.float32(exposure), ref_exp,
             jnp.float32(self.first_coarse_rmse), n_kf_j, s, self.w, self.h)
-        state_o, readback, nxt_o = _kf_chain_jit(
-            need_kf_j, ba_in, imm_new, dI_in, pyr, out_j, T_cw_new_j,
-            jnp.float32(exposure), self._prior_row(first=False),
-            min_act_in, host_out_j, n_kf_j, self.key, jnp.int32(shell.id),
-            stats_dev, HdiF_in, templates_in, pc_in,
-            T_ref, ref_aff, ref_exp, T_prev, prev_was_kf, last_rmse0,
-            img_right, have_right, T_lr_j, scale_state,
-            max_its, s.min_opt_iterations, self.tmpl_sizes, pot, n_slots,
-            s, self.w, self.h, stereo=stereo_static)
+        if s.enable_imu:
+            # VIO chain: the candidate IMU block is staged from the host
+            # queue WITHOUT consuming it; _complete_fused reconciles the
+            # queue once the device keyframe decision is read back.
+            acc_s, gyro_s, ts_s, valid_s, sv = self._imu_candidate(shell)
+            state_o, readback = _kf_chain_vio_jit(
+                need_kf_j, ba_in, self.imu, imm_new, dI_in, pyr, out_j,
+                T_cw_new_j, jnp.float32(exposure),
+                self._prior_row(first=False), min_act_in, host_out_j,
+                n_kf_j, self.key, jnp.int32(shell.id), stats_dev, HdiF_in,
+                templates_in, pc_in,
+                jnp.asarray(acc_s), jnp.asarray(gyro_s), jnp.asarray(ts_s),
+                jnp.asarray(valid_s), jnp.float32(shell.timestamp),
+                jnp.asarray(sv),
+                img_right, have_right, T_lr_j, scale_state,
+                max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                n_slots, s, self.w, self.h, stereo=stereo_static)
+            nxt_o = None
+        else:
+            state_o, readback, nxt_o = _kf_chain_jit(
+                need_kf_j, ba_in, imm_new, dI_in, pyr, out_j, T_cw_new_j,
+                jnp.float32(exposure), self._prior_row(first=False),
+                min_act_in, host_out_j, n_kf_j, self.key,
+                jnp.int32(shell.id),
+                stats_dev, HdiF_in, templates_in, pc_in,
+                T_ref, ref_aff, ref_exp, T_prev, prev_was_kf, last_rmse0,
+                img_right, have_right, T_lr_j, scale_state,
+                max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                n_slots, s, self.w, self.h, stereo=stereo_static)
         fetch_tree = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
         prefetch(fetch_tree)
         return dict(shell=shell, exposure=exposure, pyr=pyr,
                     out_j=out_j, imm_new=imm_new, accept_j=accept_j,
                     T_cw_new_j=T_cw_new_j, stats_dev=stats_dev,
                     need_kf_j=need_kf_j, state=state_o, nxt=nxt_o,
-                    fetch_tree=fetch_tree, pot=pot)
+                    fetch_tree=fetch_tree, pot=pot, vio=s.enable_imu)
 
     def _complete_fused(self, p) -> bool:
         """ONE batched readback + host bookkeeping for a dispatched fused
         frame. Returns True when dispatches chained from this frame's
         outputs are invalid (fallback tracking used, or tracking lost)."""
         shell, exposure = p["shell"], p["exposure"]
-        (need_kf, out, accept_np, T_cw_new,
-         (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks, ecols_np,
-          marg_pts, host_out_new, slot, scale_o)) = fetch(p["fetch_tree"])
+        vio = p.get("vio", False)
+        if vio:
+            (need_kf, out, accept_np, T_cw_new,
+             (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
+              ecols_np, marg_pts, host_out_new, slot, scale_o,
+              bg)) = fetch(p["fetch_tree"])
+            (self.ba, self.imu, self.imm, self.dI,
+             self.current_min_act_dist, self.HdiF, self.templates,
+             self.pc_l0) = p["state"]
+            # gyro bias for the next frames' IMU tracking hypothesis —
+            # read back here so _imu_hypothesis never touches device state
+            self._last_bg = np.asarray(bg, np.float64)
+            if bool(need_kf):
+                # the chain consumed the staged sample block on device;
+                # mirror it on the host queue (setImuData's split)
+                self.imu_queue = [q for q in self.imu_queue
+                                  if q[0] > shell.timestamp]
+        else:
+            (need_kf, out, accept_np, T_cw_new,
+             (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
+              ecols_np, marg_pts, host_out_new, slot,
+              scale_o)) = fetch(p["fetch_tree"])
 
-        # adopt the chain's post-frame device state (pure passthrough for
-        # a non-keyframe — the handles are the same arrays)
-        (self.ba, self.imm, self.dI, self.current_min_act_dist, self.HdiF,
-         self.templates, self.pc_l0) = p["state"]
+            # adopt the chain's post-frame device state (pure passthrough
+            # for a non-keyframe — the handles are the same arrays)
+            (self.ba, self.imm, self.dI, self.current_min_act_dist,
+             self.HdiF, self.templates, self.pc_l0) = p["state"]
         self.host_out = np.asarray(host_out_new, np.int64)
 
         with self.telemetry.timed("track"):
@@ -483,6 +536,10 @@ class FullSystem:
             self.current_scale = float(s_val)
             self.scale_trapped = bool(trapped_v)
             self.scale_opt_fails = int(fails_v)
+        elif s.enable_imu and scale_o is not None:
+            # VIO-mono: the chain's scale trapping evolved imu.scale on
+            # device; mirror the metric scale for camToWorldScaled
+            self.current_scale = float(scale_o[0])
         self._update_scaled_poses()
 
         marg_flags = [int(k) for k in marg_ks if k >= 0]   # descending
@@ -745,9 +802,13 @@ class FullSystem:
         samples = [s for s in self.imu_queue if t0 < s[0] <= t1]
         if len(samples) < 2:
             return None
-        newest = len(self.frame_shell_idx) - 1
-        bg = np.asarray(self.imu.state[newest] * np.asarray(IM.IMU_SCALE21)
-                        )[3:6]
+        bg = getattr(self, "_last_bg", None)
+        if bg is None:
+            # classic path: the bias lives on device (one fetch per frame);
+            # the fused VIO loop reads it back in the batched chain fetch
+            newest = len(self.frame_shell_idx) - 1
+            bg = np.asarray(self.imu.state[newest]
+                            * np.asarray(IM.IMU_SCALE21))[3:6]
         ric = np.asarray(self.settings.rot_imu_cam).reshape(3, 3)
         R = T_slast[:3, :3].copy()
         t_prev = t0
@@ -1085,6 +1146,7 @@ class FullSystem:
                     self.imu = self.imu._replace(state_zero=self.imu.state)
             self.current_scale = float(self.imu.scale) * IM.SCALE_SCALE \
                 if not s.enable_scale_opt else self.current_scale
+        self._last_bg = None   # device bias moved; drop the host cache
         self._update_scaled_poses()
 
         # flag points for removal / marginalization
@@ -1248,6 +1310,28 @@ class FullSystem:
                 ow.publish_keyframes(kf_record, final=True)
 
     # ------------------------------------------------------------------
+    def _imu_candidate(self, shell):
+        """Stage the padded IMU-sample block this frame WOULD consume if
+        the device keyframe decision fires (the same split _set_imu_data
+        performs) — without touching the host queue. Returns numpy
+        (acc, gyro, ts, valid, spline_valid)."""
+        from sos_slam_tpu.models import imu as IM
+        samples = [q for q in self.imu_queue if q[0] <= shell.timestamp]
+        samples = samples[-IM.N_IMU:]
+        n = len(samples)
+        acc = np.zeros((IM.N_IMU, 3), np.float32)
+        gyro = np.zeros((IM.N_IMU, 3), np.float32)
+        ts = np.zeros(IM.N_IMU, np.float32)
+        for i, (t, a, g) in enumerate(samples):
+            acc[i] = a
+            gyro[i] = g
+            ts[i] = t - shell.timestamp
+        valid = np.arange(IM.N_IMU) < n
+        prev_sh = self.shells[self.frame_shell_idx[-1]]
+        dt = shell.timestamp - prev_sh.timestamp
+        sv = (n > 3) and dt < self.settings.max_imu_interval
+        return acc, gyro, ts, valid, sv
+
     def _set_imu_data(self, slot: int, shell):
         """Fill the new KF's padded IMU-sample arrays from the host queue
         (FrameHessian::setImuData) and clear the queue."""
@@ -1929,8 +2013,13 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
             s_new, err = jax.lax.cond(trapped, do_trap, do_multi, None)
             err = jnp.where(have_right, err, jnp.float32(-1.0))
             ok = (err > 0) & (err < s.scale_opt_thres)
-            fails2 = jnp.where(ok, 0, fails + 1)
-            trapped2 = jnp.where(ok, True, trapped & (fails2 <= 5))
+            # no right image: skip the solve entirely (optimizeScale's
+            # early return) — no fail-count / trapping update
+            fails2 = jnp.where(ok, 0,
+                               jnp.where(have_right, fails + 1, fails))
+            trapped2 = jnp.where(ok, True,
+                                 jnp.where(have_right,
+                                           trapped & (fails2 <= 5), trapped))
             scale_out = (jnp.where(ok, s_new, s_cur), trapped2, fails2, err)
         else:
             scale_out = (*scale_state, jnp.float32(-1.0))
@@ -1994,6 +2083,164 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
     readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols,
                 marg_pts, host_out_o, slot, scale_o)
     return state, readback, nxt
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "pot", "n_slots",
+                                             "settings", "w", "h", "stereo"))
+def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
+                      exposure, prior_row, min_act_dist, host_out, n_kf,
+                      key0, shell_id, stats_dev, HdiF_in, templates_in,
+                      pc_in, acc_s, gyro_s, ts_s, valid_s, timestamp,
+                      spline_valid_s, img_right, have_right, T_lr,
+                      scale_state, max_its, min_its, sizes, pot, n_slots,
+                      settings, w, h, stereo=None):
+    """The VIO keyframe chain, cond-gated on the device keyframe decision:
+    insert + IMU sample intake + spline propagation + activation + the
+    visual-inertial KKT BA + scale trapping (or the in-chain stereo scale
+    solve) + VIO point/frame marginalization + new-trace selection — one
+    dispatch, one readback, like the mono/stereo chain. Dispatched with
+    host-computed inputs (the IMU queue split needs host-known keyframe
+    boundaries), so VIO runs the fused single-readback loop without the
+    1-deep pipeline."""
+    from sos_slam_tpu.models import imu as IM
+    s = settings
+    slot = jnp.sum(ba.frame_valid).astype(jnp.int32)
+    key = jax.random.fold_in(key0, shell_id)
+    aff_new = out_step["aff"][0]
+
+    def run(_):
+        pt_in, imm_in, aff_j, T_cw_stats = stats_dev
+        flags, marg_ks = _flag_frames_jit(
+            pt_in, imm_in, aff_j, T_cw_stats, ba.exposure, ba.frame_valid,
+            host_out, n_kf, s)
+        ba2 = WIN.insert_frame(ba, T_cw_new, aff_new, exposure, prior_row)
+        dI2 = dI.at[slot].set(pyr[0])
+        imu2 = _set_imu_jit(imu, slot, acc_s, gyro_s, ts_s, valid_s,
+                            timestamp, spline_valid_s)
+        # spline propagation for the incoming KF (HessianBlocks.cpp:357)
+        T_all = B.state_to_pose(ba2.T_cw_eval, ba2.state)
+        prev = jnp.maximum(slot - 1, 0)
+        last_bias = (imu2.state[prev] * IM.IMU_SCALE21)[:6]
+        imu2 = IM.propagate_imu_state(
+            imu2, slot, imu2.timestamps[prev], imu2.vel[prev],
+            T_all[prev, :3, :3], last_bias, s)
+        ba2, imm2, min_act2 = _activate_jit(ba2, imm, dI2, min_act_dist,
+                                            w, h, s)
+        (ba3, imu3, stats, HdiF2, templates2, pc2, T_cw_all, affs) = \
+            _kf_core_vio_jit(ba2, imu2, dI2, pyr, s, w, h, sizes,
+                             max_its, min_its)
+
+        # scale: stereo solve in-chain, or mono trapping queue
+        if stereo is not None:
+            from sos_slam_tpu.ops import scale_opt as SO
+            intr0, intr1 = stereo
+            pyr_r, _ = build_pyramid(img_right, len(pyr))
+            s_cur, trapped, fails = scale_state
+            R01, t01 = T_lr[:3, :3], T_lr[:3, 3]
+
+            def do_trap(_):
+                return SO.optimize_scale(pyr_r, templates2, s_cur, R01,
+                                         t01, intr0, intr1, len(pyr))
+
+            def do_multi(_):
+                return SO.optimize_scale_multi_guess(
+                    pyr_r, templates2, R01, t01, intr0, intr1, len(pyr))
+
+            s_new, err = jax.lax.cond(trapped, do_trap, do_multi, None)
+            err = jnp.where(have_right, err, jnp.float32(-1.0))
+            ok = (err > 0) & (err < s.scale_opt_thres)
+            fails2 = jnp.where(ok, 0,
+                               jnp.where(have_right, fails + 1, fails))
+            trapped2 = jnp.where(ok, True,
+                                 jnp.where(have_right,
+                                           trapped & (fails2 <= 5), trapped))
+            s2 = jnp.where(ok, s_new, s_cur)
+            imu3 = imu3._replace(scale=s2 / IM.SCALE_SCALE,
+                                 scale_trapped=jnp.array(True))
+            scale_out = (s2, trapped2, fails2, err)
+        else:
+            was_trapped = imu3.scale_trapped
+            imu_t = IM.try_trap_scale(imu3, s.scale_trap_thres)
+            newly = imu_t.scale_trapped & ~was_trapped
+            imu_t = imu_t._replace(
+                state_zero=jnp.where(newly, imu_t.state, imu_t.state_zero))
+            imu3 = jax.tree.map(
+                lambda a, b: jnp.where(was_trapped, a, b), imu3, imu_t)
+            scale_out = (imu3.scale * IM.SCALE_SCALE, imu3.scale_trapped,
+                         jnp.int32(0), jnp.float32(-1.0))
+
+        # VIO point marginalization + new-trace selection
+        marg, drop, died = _flag_points_jit(ba3, HdiF2, flags, s)
+        marg_pts = (ba3.host, ba3.u, ba3.v, ba3.idepth)
+        ba4, imu5 = E.marginalize_points_vio(ba3, imu3, dI2, marg, s, w, h)
+        ba4 = E.drop_points(ba4, drop)
+        imm3, n_have = _select_insert_jit(
+            imm2, pyr[0], slot, key,
+            jnp.float32(s.desired_immature_density), s, pot, n_slots)
+
+        dI3 = dI2
+        host_out2 = host_out + died
+        ecols = []
+        for j in range(MAX_MARG_FRAMES):
+            ba4, imm3, dI3, imu5, e_col, n_col = _maybe_marg_frame_vio_jit(
+                ba4, imm3, dI3, imu5, marg_ks, j, s, w, h)
+            host_out2 = _shift_host_out(host_out2, marg_ks[j])
+            ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
+
+        newest = jnp.sum(ba4.frame_valid).astype(jnp.int32) - 1
+        bg = (imu5.state[newest] * IM.IMU_SCALE21)[3:6]
+        return ((ba4, imu5, imm3, dI3, min_act2, HdiF2, templates2, pc2),
+                ((stats["energy"], stats["rmse"], stats["n_its"],
+                  stats["n_active"], stats["is_lost"]),
+                 T_cw_all, affs, marg, died, n_have, marg_ks,
+                 jnp.stack(ecols), marg_pts, host_out2, scale_out, bg))
+
+    def skip(_):
+        F, P = ba.F, ba.P
+        newest = jnp.maximum(jnp.sum(ba.frame_valid) - 1, 0)
+        bg = (imu.state[newest] * IM.IMU_SCALE21)[3:6]
+        return ((ba, imu, imm, dI, min_act_dist, HdiF_in, templates_in,
+                 pc_in),
+                ((jnp.float32(0), jnp.float32(0), jnp.int32(0),
+                  jnp.int32(0), jnp.array(False)),
+                 jnp.zeros((F, 4, 4)), jnp.zeros((F, 2)),
+                 jnp.zeros(P, bool), jnp.zeros(F, jnp.int32), jnp.int32(0),
+                 jnp.full((MAX_MARG_FRAMES,), -1, jnp.int32),
+                 jnp.zeros((MAX_MARG_FRAMES, 2)),
+                 (jnp.zeros(P, jnp.int32), jnp.zeros(P), jnp.zeros(P),
+                  jnp.zeros(P)),
+                 host_out, (*scale_state, jnp.float32(-1.0)), bg))
+
+    state, readback = jax.lax.cond(need_kf, run, skip, None)
+    (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols, marg_pts,
+     host_out_o, scale_o, bg) = readback
+    readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols,
+                marg_pts, host_out_o, slot, scale_o, bg)
+    return state, readback
+
+
+@functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
+def _maybe_marg_frame_vio_jit(ba, imm, dI, imu, marg_ks, j, settings, w, h):
+    """cond-gated VIO frame marginalization (dso_error energy + straggler
+    cleanup + 29-dim Schur fold + dI compaction), slot marg_ks[j]."""
+    k = marg_ks[j]
+
+    def do(args):
+        ba_, imm_, dI_, imu_ = args
+        e_col, n_col = _frame_residual_energy(ba_, dI_, k, settings, w, h)
+        ba_, imm_ = _pre_marg_jit(ba_, imm_, k)
+        ba_, imu_ = E.marginalize_frame_vio(ba_, imu_, k, settings)
+        F = dI_.shape[0]
+        idx = jnp.arange(F)
+        src = jnp.minimum(jnp.where(idx < k, idx, idx + 1), F - 1)
+        dI_ = dI_[src].at[F - 1].set(0.0)
+        return ba_, imm_, dI_, imu_, e_col, n_col
+
+    def skip(args):
+        ba_, imm_, dI_, imu_ = args
+        return ba_, imm_, dI_, imu_, jnp.float32(0.0), jnp.int32(0)
+
+    return jax.lax.cond(k >= 0, do, skip, (ba, imm, dI, imu))
 
 
 @functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
