@@ -52,6 +52,9 @@ class FrameShell:
     scale_error: float = -1.0
     cam_to_world_scaled: Optional[np.ndarray] = None
     dso_error: float = np.nan           # BA energy stat for loop-edge weights
+    shell_idx: int = -1                 # position in FullSystem.shells (O(1)
+                                        # lookup — a list scan is quadratic
+                                        # over a long sequence)
 
 
 @dataclasses.dataclass
@@ -150,6 +153,7 @@ class FullSystem:
         self.current_min_act_dist = 2.0
 
         self.shells: List[FrameShell] = []
+        self._shell_by_id: dict = {}
         self.kf_shell_ids: List[int] = []
         # carried-over world pose for reinitialization: when set (by
         # SlamNode after an init failure), the rebuilt system's first KF
@@ -191,6 +195,7 @@ class FullSystem:
         self._stats_dev = None
         self.pc_l0 = None
         self._last_bg = None         # host-cached gyro bias (fused VIO)
+        self._prior_row_cache = None
         # fused per-frame dispatch with the device-side KF decision
         # (default on for mono vision; see _fused_kf_active)
         self.fused_kf = True
@@ -223,8 +228,10 @@ class FullSystem:
         else:
             self._pending_right = None
         shell = FrameShell(id=frame_id, timestamp=timestamp,
-                           cam_to_world=np.eye(4), aff=np.zeros(2))
+                           cam_to_world=np.eye(4), aff=np.zeros(2),
+                           shell_idx=len(self.shells))
         self.shells.append(shell)
+        self._shell_by_id[shell.id] = shell
         self.stats["n_frames"] += 1
 
         if not self.initialized:
@@ -508,7 +515,7 @@ class FullSystem:
         s = self.settings
         pyr = p["pyr"]
         self.frame_pyramids[slot] = pyr
-        self.frame_shell_idx.append(self.shells.index(shell))
+        self.frame_shell_idx.append(shell.shell_idx)
         self.kf_shell_ids.append(shell.id)
         shell.is_kf = True
         self.stats["n_kf"] += 1
@@ -683,7 +690,7 @@ class FullSystem:
                         jnp.float32), prior0)
         self.dI = self.dI.at[0].set(self.init_first_pyr[0])
         self.frame_pyramids[0] = self.init_first_pyr
-        self.frame_shell_idx = [self.shells.index(first_shell)]
+        self.frame_shell_idx = [first_shell.shell_idx]
         self.kf_shell_ids.append(first_shell.id)
         first_shell.is_kf = True
         self.stats["n_kf"] += 1
@@ -727,6 +734,10 @@ class FullSystem:
         self._deliver_tracked_frame(pyr, shell, exposure, need_kf=True)
 
     def _prior_row(self, first: bool) -> jnp.ndarray:
+        # the steady (non-first) row is a settings constant: keep one
+        # device-resident copy instead of a host->device upload per frame
+        if not first and self._prior_row_cache is not None:
+            return self._prior_row_cache
         s = self.settings
         p = np.zeros(8, np.float32)
         if first:
@@ -739,7 +750,10 @@ class FullSystem:
                     else s.affine_opt_mode_a)
             p[7] = (s.initial_aff_b_prior if s.affine_opt_mode_b < 0
                     else s.affine_opt_mode_b)
-        return jnp.asarray(p)
+        row = jnp.asarray(p)
+        if not first:
+            self._prior_row_cache = row
+        return row
 
     # ------------------------------------------------------------------
     # tracking
@@ -1053,7 +1067,7 @@ class FullSystem:
         first = len(self.kf_shell_ids) == 0
         prior_row = self._prior_row(first=first)
         self.frame_pyramids[slot] = pyr
-        self.frame_shell_idx.append(self.shells.index(shell))
+        self.frame_shell_idx.append(shell.shell_idx)
         self.kf_shell_ids.append(shell.id)
         shell.is_kf = True
         self.stats["n_kf"] += 1
@@ -1408,7 +1422,7 @@ class FullSystem:
         """camToWorldScaled chain (FullSystemOptimize.cpp:437-456): every
         window shell takes the CURRENT global scale, then the scaled chain
         is rebuilt through each frame's tracking reference."""
-        by_id = {sh.id: sh for sh in self.shells}
+        by_id = self._shell_by_id
         for i in self.frame_shell_idx:
             sh = self.shells[i]
             sh.scale = self.current_scale

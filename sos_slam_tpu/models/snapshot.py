@@ -96,12 +96,16 @@ def load_snapshot(fs: FullSystem, path: str) -> FullSystem:
 
     host = json.loads(bytes(data["host_json"].tobytes()).decode())
     fs.shells = []
-    for d in host["shells"]:
+    fs._shell_by_id = {}
+    for i, d in enumerate(host["shells"]):
         d = dict(d)
         for k in ("cam_to_world", "aff", "cam_to_world_scaled"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k])
-        fs.shells.append(FrameShell(**d))
+        d["shell_idx"] = i      # recomputed (absent in older snapshots)
+        sh = FrameShell(**d)
+        fs.shells.append(sh)
+        fs._shell_by_id[sh.id] = sh
     fs.frame_shell_idx = host["frame_shell_idx"]
     fs.kf_shell_ids = host["kf_shell_ids"]
     fs.host_out = np.asarray(host["host_out"], np.int64)
