@@ -72,6 +72,12 @@ def main():
     fs.finish_pending()
     jax.block_until_ready(fs.ba.state)
     t_end = time.time()
+    if verbose:
+        rep = fs.telemetry.report()
+        for k, v in sorted(rep["timers_ms"].items()):
+            print(f"[bench] timer {k}: n={v['n']} median={v['median']:.1f} "
+                  f"mean={v['mean']:.1f} max={v['max']:.1f}",
+                  file=sys.stderr, flush=True)
 
     ok = not (fs.is_lost or fs.init_failed) and fs.initialized
     steady = frame_times[WARMUP:]
@@ -164,15 +170,22 @@ def _bench_full_config(W, H, verbose):
 
     N_FRAMES, WARMUP = 44, 30
     FRAME_DT, IMU_HZ, PLANE_Z, BASE = 0.1, 200.0, 2.0, 0.11
-    L = np.array([0.10, 0.05, 0.08, 0.04, 0.06, 0.03])
-    Q = np.array([0.06, -0.05, 0.04, 0.02, -0.015, 0.02])
-    C = np.array([0.008, -0.006, 0.007, -0.004, 0.003, -0.004])
+    # bounded sinusoidal 6-DoF trajectory: continuous non-zero acceleration
+    # (spline-VIO observability) with bounded excursion, so the camera never
+    # closes on the plane (the previous cubic trajectory accelerated into
+    # it and became untrackable by frame ~41)
+    A = np.array([0.38, 0.28, 0.20])          # translation amplitudes (m)
+    WT = np.array([0.9, 0.7, 1.1])            # translation frequencies
+    B = np.array([0.05, 0.09, 0.04])          # rotation amplitudes (rad)
+    WR = np.array([0.8, 1.0, 0.7])            # rotation frequencies
 
     def pose_at(t):
+        # pure numpy: inside the timed loop an eager jax op would cost a
+        # full tunnel round trip per call
         T = np.eye(4, dtype=np.float32)
-        r = L[3:] * t + Q[3:] * t * t + C[3:] * t ** 3
-        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray(r, jnp.float32)))
-        T[:3, 3] = L[:3] * t + Q[:3] * t * t + C[:3] * t ** 3
+        r = B * np.sin(WR * t)
+        T[:3, :3] = lie.np_so3_exp(r).astype(np.float32)
+        T[:3, 3] = A * np.sin(WT * t)
         return T
 
     def imu_between(t0, t1):
@@ -181,7 +194,7 @@ def _bench_full_config(W, H, verbose):
         for i in range(1, int(round((t1 - t0) * IMU_HZ)) + 1):
             t = t0 + i / IMU_HZ
             R = pose_at(t)[:3, :3]
-            a_w = 2 * Q[:3] + 6 * C[:3] * t
+            a_w = -A * WT * WT * np.sin(WT * t)
             Wx = R.T @ ((pose_at(t + h)[:3, :3]
                          - pose_at(t - h)[:3, :3]) / (2 * h))
             w_body = np.array([Wx[2, 1], Wx[0, 2], Wx[1, 0]])
@@ -207,8 +220,14 @@ def _bench_full_config(W, H, verbose):
     imgs_l = jax.block_until_ready(imgs_l)
     imgs_r = jax.block_until_ready(imgs_r)
 
+    imu_blocks = []
+    t_prev = -FRAME_DT
+    for i in range(N_FRAMES):
+        imu_blocks.append(imu_between(t_prev, i * FRAME_DT))
+        t_prev = i * FRAME_DT
+
     fs = FullSystem(calib, settings, stereo=stereo)
-    t_prev, t_steady, n_done = -FRAME_DT, None, 0
+    t_steady, n_done = None, 0
     for i in range(N_FRAMES):
         if verbose:
             print(f"[bench-full] frame {i}", file=sys.stderr, flush=True)
@@ -218,9 +237,8 @@ def _bench_full_config(W, H, verbose):
         t = i * FRAME_DT
         fs.add_active_frame(imgs_l[i], timestamp=t, frame_id=i,
                             image_right=imgs_r[i],
-                            imu_samples=imu_between(t_prev, t))
+                            imu_samples=imu_blocks[i])
         n_done = i + 1
-        t_prev = t
         if fs.is_lost or fs.init_failed:
             return -1.0, fs.stats["n_kf"]
     fs.finish_pending()

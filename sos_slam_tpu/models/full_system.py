@@ -323,6 +323,10 @@ class FullSystem:
         previous frame's record (its chain outputs feed every input);
         None falls back to host-computed inputs (after init, fallback
         tracking, or a selector-rung change)."""
+        with self.telemetry.timed("fused_dispatch"):
+            return self._dispatch_fused_inner(image, shell, exposure, chain)
+
+    def _dispatch_fused_inner(self, image, shell, exposure, chain=None):
         s = self.settings
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         pot = getattr(self, "_sel_pot", 3)
@@ -392,51 +396,46 @@ class FullSystem:
              pc_in) = chain["state"]
             max_its = s.max_opt_iterations   # chained only in steady state
 
-        pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = \
-            _frame_step_jit(
-                jnp.asarray(image, jnp.float32), ba_in, imm_in,
-                templates_in, T_primary, T_hyps, T_ref, aff0_j, ref_aff,
-                ref_exp, jnp.float32(exposure), th,
-                s, self.w, self.h, self.n_levels, intr)
-        need_kf_j = _need_kf_jit(
-            out_j, accept_j, jnp.float32(exposure), ref_exp,
-            jnp.float32(self.first_coarse_rmse), n_kf_j, s, self.w, self.h)
         if s.enable_imu:
             # VIO chain: the candidate IMU block is staged from the host
             # queue WITHOUT consuming it; _complete_fused reconciles the
             # queue once the device keyframe decision is read back.
             acc_s, gyro_s, ts_s, valid_s, sv = self._imu_candidate(shell)
-            state_o, readback = _kf_chain_vio_jit(
-                need_kf_j, ba_in, self.imu, imm_new, dI_in, pyr, out_j,
-                T_cw_new_j, jnp.float32(exposure),
+            pyr, need_kf_j, state_o, raw, fvec, ivec = _fused_frame_vio_jit(
+                jnp.asarray(image, jnp.float32), ba_in, self.imu, imm_in,
+                dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
+                ref_aff, ref_exp, jnp.float32(exposure), th,
+                jnp.float32(self.first_coarse_rmse),
                 self._prior_row(first=False), min_act_in, host_out_j,
-                n_kf_j, self.key, jnp.int32(shell.id), stats_dev, HdiF_in,
-                templates_in, pc_in,
+                n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
                 jnp.asarray(acc_s), jnp.asarray(gyro_s), jnp.asarray(ts_s),
                 jnp.asarray(valid_s), jnp.float32(shell.timestamp),
                 jnp.asarray(sv),
                 img_right, have_right, T_lr_j, scale_state,
                 max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
-                n_slots, s, self.w, self.h, stereo=stereo_static)
+                n_slots, s, self.w, self.h, self.n_levels, intr,
+                stereo=stereo_static)
             nxt_o = None
         else:
-            state_o, readback, nxt_o = _kf_chain_jit(
-                need_kf_j, ba_in, imm_new, dI_in, pyr, out_j, T_cw_new_j,
-                jnp.float32(exposure), self._prior_row(first=False),
-                min_act_in, host_out_j, n_kf_j, self.key,
-                jnp.int32(shell.id),
-                stats_dev, HdiF_in, templates_in, pc_in,
-                T_ref, ref_aff, ref_exp, T_prev, prev_was_kf, last_rmse0,
-                img_right, have_right, T_lr_j, scale_state,
-                max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
-                n_slots, s, self.w, self.h, stereo=stereo_static)
-        fetch_tree = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
+            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
+                _fused_frame_mono_jit(
+                    jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
+                    templates_in, T_primary, T_hyps, T_ref, aff0_j,
+                    ref_aff, ref_exp, jnp.float32(exposure), th,
+                    jnp.float32(self.first_coarse_rmse),
+                    self._prior_row(first=False), min_act_in, host_out_j,
+                    n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
+                    T_prev, prev_was_kf, last_rmse0,
+                    img_right, have_right, T_lr_j, scale_state,
+                    max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                    n_slots, s, self.w, self.h, self.n_levels, intr,
+                    stereo=stereo_static)
+        fetch_tree = (fvec, ivec)
         prefetch(fetch_tree)
         return dict(shell=shell, exposure=exposure, pyr=pyr,
-                    out_j=out_j, imm_new=imm_new, accept_j=accept_j,
-                    T_cw_new_j=T_cw_new_j, stats_dev=stats_dev,
                     need_kf_j=need_kf_j, state=state_o, nxt=nxt_o,
-                    fetch_tree=fetch_tree, pot=pot, vio=s.enable_imu)
+                    raw_spec=raw, fetch_tree=fetch_tree, pot=pot,
+                    vio=s.enable_imu)
 
     def _complete_fused(self, p) -> bool:
         """ONE batched readback + host bookkeeping for a dispatched fused
@@ -444,11 +443,14 @@ class FullSystem:
         outputs are invalid (fallback tracking used, or tracking lost)."""
         shell, exposure = p["shell"], p["exposure"]
         vio = p.get("vio", False)
+        with self.telemetry.timed("fused_fetch"):
+            fvec, ivec = fetch(p["fetch_tree"])
+        unpacked = _unpack_fetch(fvec, ivec, p["raw_spec"])
         if vio:
             (need_kf, out, accept_np, T_cw_new,
              (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
               ecols_np, marg_pts, host_out_new, slot, scale_o,
-              bg)) = fetch(p["fetch_tree"])
+              bg)) = unpacked
             (self.ba, self.imu, self.imm, self.dI,
              self.current_min_act_dist, self.HdiF, self.templates,
              self.pc_l0) = p["state"]
@@ -464,7 +466,7 @@ class FullSystem:
             (need_kf, out, accept_np, T_cw_new,
              (stats_t, T_cw, affs, marg_np, died, n_have, marg_ks,
               ecols_np, marg_pts, host_out_new, slot,
-              scale_o)) = fetch(p["fetch_tree"])
+              scale_o)) = unpacked
 
             # adopt the chain's post-frame device state (pure passthrough
             # for a non-keyframe — the handles are the same arrays)
@@ -2440,6 +2442,113 @@ def _need_kf_jit(out, accept, exposure_new, ref_exposure, first_rmse,
     first_eff = jnp.where(first_rmse < 0, res0, first_rmse)
     decide = (score > 1.0) | (2.0 * first_eff < res0) | (n_kf == 0)
     return accept & decide
+
+
+def _pack_fetch(tree):
+    """Inside-jit: flatten a readback pytree into TWO dense vectors
+    (floats as f32, ints/bools as i32). On the tunneled PJRT backend every
+    fetched leaf is its own device->host transfer with a fixed overhead
+    (~3-4 ms each, measured); packing the ~25-leaf per-frame readback into
+    2 leaves turns the per-frame fetch into a single round trip."""
+    fs, is_ = [], []
+    for leaf in jax.tree.leaves(tree):
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            fs.append(leaf.ravel().astype(jnp.float32))
+        else:
+            is_.append(leaf.ravel().astype(jnp.int32))
+    fvec = jnp.concatenate(fs) if fs else jnp.zeros((0,), jnp.float32)
+    ivec = jnp.concatenate(is_) if is_ else jnp.zeros((0,), jnp.int32)
+    return fvec, ivec
+
+
+def _unpack_fetch(fvec, ivec, spec_tree):
+    """Host-side inverse of _pack_fetch. `spec_tree` is any pytree with
+    the same structure whose leaves carry .shape/.dtype (the device
+    handles returned by the merged frame program)."""
+    leaves, treedef = jax.tree.flatten(spec_tree)
+    out, fo, io = [], 0, 0
+    for leaf in leaves:
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            arr = np.asarray(fvec[fo:fo + n]).reshape(leaf.shape)
+            fo += n
+        else:
+            arr = np.asarray(ivec[io:io + n]).reshape(leaf.shape)
+            if leaf.dtype == jnp.bool_:
+                arr = arr.astype(bool)
+            io += n
+        out.append(arr)
+    return jax.tree.unflatten(treedef, out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "pot", "n_slots", "settings", "w", "h", "n_levels", "intr",
+    "stereo"))
+def _fused_frame_mono_jit(image, ba, imm, dI, templates, T_primary, T_hyps,
+                          T_cw_ref, aff0, ref_aff, ref_exp, exposure,
+                          achieve_th, first_rmse, prior_row, min_act_dist,
+                          host_out, n_kf, key0, shell_id, HdiF_in, pc_in,
+                          T_cw_prev_in, prev_was_kf, last_rmse0,
+                          img_right, have_right, T_lr, scale_state,
+                          max_its, min_its,
+                          sizes, pot, n_slots, settings, w, h, n_levels,
+                          intr, stereo=None):
+    """ONE program per frame: fused step + device keyframe decision +
+    cond-gated keyframe chain + packed 2-leaf readback. Merging the three
+    per-frame dispatches cuts the host dispatch overhead (~8 ms per jit
+    call of this arity on the 1-core host) and lets the whole readback
+    ride a single transfer."""
+    pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = _frame_step_jit(
+        image, ba, imm, templates, T_primary, T_hyps, T_cw_ref, aff0,
+        ref_aff, ref_exp, exposure, achieve_th, settings, w, h, n_levels,
+        intr)
+    need_kf_j = _need_kf_jit(out_j, accept_j, exposure, ref_exp,
+                             first_rmse, n_kf, settings, w, h)
+    state_o, readback, nxt_o = _kf_chain_jit(
+        need_kf_j, ba, imm_new, dI, pyr, out_j, T_cw_new_j, exposure,
+        prior_row, min_act_dist, host_out, n_kf, key0, shell_id, stats_dev,
+        HdiF_in, templates, pc_in, T_cw_ref, ref_aff, ref_exp,
+        T_cw_prev_in, prev_was_kf, last_rmse0,
+        img_right, have_right, T_lr, scale_state,
+        max_its, min_its, sizes, pot, n_slots, settings, w, h,
+        stereo=stereo)
+    raw = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
+    fvec, ivec = _pack_fetch(raw)
+    return pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "pot", "n_slots", "settings", "w", "h", "n_levels", "intr",
+    "stereo"))
+def _fused_frame_vio_jit(image, ba, imu, imm, dI, templates, T_primary,
+                         T_hyps, T_cw_ref, aff0, ref_aff, ref_exp,
+                         exposure, achieve_th, first_rmse, prior_row,
+                         min_act_dist, host_out, n_kf, key0, shell_id,
+                         HdiF_in, pc_in,
+                         acc_s, gyro_s, ts_s, valid_s, timestamp,
+                         spline_valid_s, img_right, have_right, T_lr,
+                         scale_state, max_its, min_its,
+                         sizes, pot, n_slots, settings, w, h, n_levels,
+                         intr, stereo=None):
+    """VIO variant of the merged per-frame program (step + decision +
+    VIO keyframe chain + packed readback)."""
+    pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = _frame_step_jit(
+        image, ba, imm, templates, T_primary, T_hyps, T_cw_ref, aff0,
+        ref_aff, ref_exp, exposure, achieve_th, settings, w, h, n_levels,
+        intr)
+    need_kf_j = _need_kf_jit(out_j, accept_j, exposure, ref_exp,
+                             first_rmse, n_kf, settings, w, h)
+    state_o, readback = _kf_chain_vio_jit(
+        need_kf_j, ba, imu, imm_new, dI, pyr, out_j, T_cw_new_j, exposure,
+        prior_row, min_act_dist, host_out, n_kf, key0, shell_id, stats_dev,
+        HdiF_in, templates, pc_in, acc_s, gyro_s, ts_s, valid_s, timestamp,
+        spline_valid_s, img_right, have_right, T_lr, scale_state,
+        max_its, min_its, sizes, pot, n_slots, settings, w, h,
+        stereo=stereo)
+    raw = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
+    fvec, ivec = _pack_fetch(raw)
+    return pyr, need_kf_j, state_o, raw, fvec, ivec
 
 
 def _shift_host_out(ho, k):

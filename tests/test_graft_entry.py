@@ -30,3 +30,12 @@ def test_pin_cpu_backend_idempotent():
     ge._pin_cpu_backend(8)
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) >= 8
+
+
+def test_backend_detection_under_conftest():
+    # conftest pre-pins cpu with 8 devices, so the in-process path is
+    # viable and the subprocess fallback must NOT be chosen.
+    jnp.zeros(1).block_until_ready()
+    assert not ge._backend_already_non_cpu(8)
+    # with an unreachable device count the fallback must trigger
+    assert ge._backend_already_non_cpu(10**6)
