@@ -184,12 +184,15 @@ class FullSystem:
         self.marg_callbacks = []     # loop-closure hooks: fn(kf_dict)
         self.output_wrappers = []    # Output3DWrapper publishers
 
-        # 1-deep pipelining of the fused path (default on: sync and
-        # pipelined modes consume bit-identical chained device values,
-        # pipelining only overlaps the readback with the next frame's
-        # execution; see _add_frame_fused)
+        # pipelining of the fused path (default on: sync and pipelined
+        # modes consume bit-identical chained device values, pipelining
+        # only overlaps readback round trips with later frames' execution;
+        # see _add_frame_fused). Depth 2 gives the async device->host
+        # copies a full frame of slack to land before their fetch.
         self.pipeline = True
-        self._pending_fused = None   # dispatched, not yet completed frame
+        self.pipeline_depth = 2
+        from collections import deque
+        self._pending_fused = deque()  # dispatched, not yet completed
         self._last_chain = None      # last completed frame's chain record
         self._last_frame_was_kf = False
         self._stats_dev = None
@@ -271,62 +274,99 @@ class FullSystem:
         """1-deep pipelining waits for the bootstrap to settle: after 4
         keyframes the BA iteration budget and the init-failure RMSE gates
         are constant, so a pending frame's chain can dispatch with the
-        steady-state parameters. VIO stays synchronous: each dispatch
-        stages IMU samples from the host queue, whose consumption depends
-        on the previous frame's keyframe outcome."""
-        return (self.pipeline and len(self.kf_shell_ids) >= 4
-                and not self.settings.enable_imu)
+        steady-state parameters. VIO pipelines once the IMU is initialized
+        (which implies >= 5 keyframes): IMU staging is outcome-independent
+        — the device masks the staged block by the in-flight frame's own
+        keyframe decision."""
+        if not (self.pipeline and len(self.kf_shell_ids) >= 4):
+            return False
+        return (not self.settings.enable_imu) or self.imu_initialized
 
     def _add_frame_fused(self, image, shell, exposure):
         """Fused driver: dispatch this frame's step + cond-gated keyframe
-        chain, all inputs chained from the previous frame's chain outputs
-        (device handles — no host value in the loop). With pipelining on,
-        the previous frame is completed AFTER this frame's dispatch, so
-        its readback round trip overlaps this frame's execution; the two
-        modes consume bit-identical device values either way."""
-        prev = self._pending_fused
-        self._pending_fused = None
-        spec = None
-        pot_before = getattr(self, "_sel_pot", 3)
-        if prev is not None:
+        chain, all inputs chained from the newest dispatched frame's chain
+        outputs (device handles — no host value in the loop). With
+        pipelining on, up to `pipeline_depth` frames stay in flight: their
+        readback round trips overlap later frames' execution, and the
+        sync and pipelined modes consume bit-identical device values.
+
+        Invalidation at completion time (rare):
+        - fallback tracking / lost: every newer in-flight frame consumed
+          garbage chained state -> reprocess them synchronously;
+        - selector-rung change at a keyframe: in-flight records remain
+          valid chaining *sources*, but their chain programs ran the old
+          rung -> re-dispatch them chained, with the new rung."""
+        q = self._pending_fused
+        newest = q[-1] if q else None
+        if newest is not None:
             # speculative dispatch from the (not yet read back) chain
-            spec = self._dispatch_fused(image, shell, exposure, chain=prev)
-            redo = self._complete_fused(prev)
-            self._last_chain = None if redo else prev
-            if redo:
-                spec = None
-            elif getattr(self, "_sel_pot", 3) != pot_before:
-                # selector rung changed: the chain record stays a valid
-                # chaining source, but this frame's chain program was
-                # compiled for the old rung — re-dispatch chained below
-                # (bit-identical to what the sync driver would do)
-                spec = None
-        if self.is_lost or self.init_failed:
-            return
-        if spec is None:
+            spec = self._dispatch_fused(image, shell, exposure,
+                                        chain=newest)
+            q.append(spec)
+        else:
             # chained dispatch assumes the steady-state BA iteration budget;
             # during bootstrap (n_kf < 4: 20/15-iteration keyframes) the
-            # dispatch must come from host state with the right budget.
-            # VIO always dispatches from host state (the staged IMU block
-            # and the host queue must stay consistent frame to frame).
-            src = self._last_chain if (len(self.kf_shell_ids) >= 4 and
-                                       not self.settings.enable_imu) else None
+            # dispatch must come from host state with the right budget
+            # (fused VIO implies imu_initialized, i.e. >= 5 keyframes).
+            src = self._last_chain if len(self.kf_shell_ids) >= 4 else None
             spec = self._dispatch_fused(image, shell, exposure, chain=src)
-        if self._pipeline_ready():
-            self._pending_fused = spec
-        else:
-            redo = self._complete_fused(spec)
-            self._last_chain = None if redo else spec
+            q.append(spec)
+        depth = self.pipeline_depth if self._pipeline_ready() else 0
+        self._drain_pending(depth)
 
-    def _dispatch_fused(self, image, shell, exposure, chain=None):
+    def _drain_pending(self, depth: int) -> None:
+        """Complete in-flight frames until at most `depth` remain,
+        handling invalidation of the newer in-flight dispatches."""
+        q = self._pending_fused
+        while len(q) > depth:
+            pot_before = getattr(self, "_sel_pot", 3)
+            rec = q.popleft()
+            redo = self._complete_fused(rec)
+            self._last_chain = None if redo else rec
+            if self.is_lost or self.init_failed:
+                q.clear()
+                return
+            if redo:
+                # newer in-flight dispatches chained from invalid state:
+                # reprocess those frames one by one from host state
+                stale = list(q)
+                q.clear()
+                for r in stale:
+                    spec = self._dispatch_fused(
+                        r["image"], r["shell"], r["exposure"], chain=None,
+                        stereo_right=r.get("stereo_right"))
+                    redo2 = self._complete_fused(spec)
+                    self._last_chain = None if redo2 else spec
+                    if self.is_lost or self.init_failed:
+                        return
+                continue
+            if getattr(self, "_sel_pot", 3) != pot_before:
+                # selector rung changed: re-dispatch in-flight frames
+                # chained (same inputs, new-rung program) in order
+                stale = list(q)
+                q.clear()
+                src = self._last_chain
+                for r in stale:
+                    spec = self._dispatch_fused(
+                        r["image"], r["shell"], r["exposure"], chain=src,
+                        stereo_right=r.get("stereo_right"))
+                    q.append(spec)
+                    src = spec
+
+    def _dispatch_fused(self, image, shell, exposure, chain=None,
+                        stereo_right=None):
         """Dispatch the fused frame step + keyframe chain. `chain` is the
         previous frame's record (its chain outputs feed every input);
         None falls back to host-computed inputs (after init, fallback
-        tracking, or a selector-rung change)."""
+        tracking, or a selector-rung change). `stereo_right` re-supplies
+        a reprocessed frame's own staged (img_right, have_right) pair —
+        self._pending_right holds the NEWEST frame's by then."""
         with self.telemetry.timed("fused_dispatch"):
-            return self._dispatch_fused_inner(image, shell, exposure, chain)
+            return self._dispatch_fused_inner(image, shell, exposure, chain,
+                                              stereo_right)
 
-    def _dispatch_fused_inner(self, image, shell, exposure, chain=None):
+    def _dispatch_fused_inner(self, image, shell, exposure, chain=None,
+                              stereo_right=None):
         s = self.settings
         intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
         pot = getattr(self, "_sel_pot", 3)
@@ -342,7 +382,9 @@ class FullSystem:
             stereo_static = (intr, tuple(cr.intrinsics(l)
                                          for l in range(self.n_levels)))
             T_lr_j = jnp.asarray(self.stereo.T_lr, jnp.float32)
-            if self._pending_right is not None:
+            if stereo_right is not None:
+                img_right, have_right = stereo_right
+            elif self._pending_right is not None:
                 img_right = self._pending_right
                 have_right = jnp.asarray(True)
             else:
@@ -350,9 +392,16 @@ class FullSystem:
                                       jnp.float32)
 
         if chain is None:
-            hyps, _ = self._motion_hypotheses(lag=0)
-            aff0 = np.asarray(self.shells[-2].aff, np.float32) \
-                if len(self.shells) >= 2 else np.zeros(2, np.float32)
+            # lag-aware host staging: when _drain_pending reprocesses an
+            # invalidated in-flight frame, newer shells are already
+            # appended — address the predecessor by shell index, never
+            # by [-2] (lag == 0 for a freshly appended frame)
+            lag = len(self.shells) - 1 - shell.shell_idx
+            prev_sh = self.shells[shell.shell_idx - 1] \
+                if shell.shell_idx >= 1 else None
+            hyps, _ = self._motion_hypotheses(lag=lag, no_imu=s.enable_imu)
+            aff0 = np.asarray(prev_sh.aff, np.float32) \
+                if prev_sh is not None else np.zeros(2, np.float32)
             T_primary = jnp.asarray(hyps[0], jnp.float32)
             T_hyps = jnp.asarray(
                 np.stack(_pad_hyps(hyps[1:], 5)), jnp.float32)
@@ -364,10 +413,10 @@ class FullSystem:
             ref_aff = jnp.asarray(self.ref_aff, jnp.float32)
             ref_exp = jnp.float32(self.ref_exposure)
             T_prev = jnp.asarray(
-                self.shells[-2].cam_to_world if len(self.shells) >= 2
+                prev_sh.cam_to_world if prev_sh is not None
                 else np.eye(4), jnp.float32)
             prev_was_kf = jnp.asarray(
-                self.shells[-2].is_kf if len(self.shells) >= 2 else False)
+                prev_sh.is_kf if prev_sh is not None else False)
             last_rmse0 = jnp.float32(self.last_coarse_rmse[0])
             n_kf_j = jnp.int32(len(self.kf_shell_ids))
             host_out_j = jnp.asarray(self.host_out, jnp.int32)
@@ -381,6 +430,9 @@ class FullSystem:
             n_kf_next = len(self.kf_shell_ids) + 1
             max_its = 20 if n_kf_next < 3 else \
                 (15 if n_kf_next < 4 else s.max_opt_iterations)
+            imu_in = self.imu
+            # host queue is fully reconciled here: no device-side masking
+            t_last_kf_in = jnp.float32(-1e30)
         else:
             nxt = chain["nxt"]
             T_primary, aff0_j, th = nxt["T_primary"], nxt["aff"], nxt["th"]
@@ -392,30 +444,48 @@ class FullSystem:
             last_rmse0 = nxt["rms0"]
             n_kf_j, host_out_j = nxt["n_kf"], nxt["host_out"]
             scale_state = nxt["scale_state"]
-            (ba_in, imm_in, dI_in, min_act_in, HdiF_in, templates_in,
-             pc_in) = chain["state"]
+            if s.enable_imu:
+                (ba_in, imu_in, imm_in, dI_in, min_act_in, HdiF_in,
+                 templates_in, pc_in) = chain["state"]
+                # in-flight frames' keyframe decisions govern which staged
+                # samples they consumed; the chained last-KF timestamp
+                # masks them out (no-op once the host queue is reconciled)
+                t_last_kf_in = nxt["t_last_kf"]
+            else:
+                (ba_in, imm_in, dI_in, min_act_in, HdiF_in, templates_in,
+                 pc_in) = chain["state"]
             max_its = s.max_opt_iterations   # chained only in steady state
 
         if s.enable_imu:
             # VIO chain: the candidate IMU block is staged from the host
-            # queue WITHOUT consuming it; _complete_fused reconciles the
-            # queue once the device keyframe decision is read back.
-            acc_s, gyro_s, ts_s, valid_s, sv = self._imu_candidate(shell)
-            pyr, need_kf_j, state_o, raw, fvec, ivec = _fused_frame_vio_jit(
-                jnp.asarray(image, jnp.float32), ba_in, self.imu, imm_in,
-                dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
-                ref_aff, ref_exp, jnp.float32(exposure), th,
-                jnp.float32(self.first_coarse_rmse),
-                self._prior_row(first=False), min_act_in, host_out_j,
-                n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
-                jnp.asarray(acc_s), jnp.asarray(gyro_s), jnp.asarray(ts_s),
-                jnp.asarray(valid_s), jnp.float32(shell.timestamp),
-                jnp.asarray(sv),
-                img_right, have_right, T_lr_j, scale_state,
-                max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
-                n_slots, s, self.w, self.h, self.n_levels, intr,
-                stereo=stereo_static)
-            nxt_o = None
+            # queue WITHOUT consuming it; the device masks out samples the
+            # previous (possibly in-flight) frame consumed iff its keyframe
+            # decision fired, and _complete_fused reconciles the host queue
+            # once that decision is read back.
+            acc_s, gyro_s, ts_s, valid_s = self._imu_candidate(shell)
+            if chain is not None:
+                t_prev_frame = chain["shell"].timestamp
+            elif shell.shell_idx >= 1:
+                t_prev_frame = self.shells[shell.shell_idx - 1].timestamp
+            else:
+                t_prev_frame = shell.timestamp - 1.0
+            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
+                _fused_frame_vio_jit(
+                    jnp.asarray(image, jnp.float32), ba_in, imu_in, imm_in,
+                    dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
+                    ref_aff, ref_exp, jnp.float32(exposure), th,
+                    jnp.float32(self.first_coarse_rmse),
+                    self._prior_row(first=False), min_act_in, host_out_j,
+                    n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
+                    jnp.asarray(acc_s), jnp.asarray(gyro_s),
+                    jnp.asarray(ts_s), jnp.asarray(valid_s),
+                    jnp.float32(shell.timestamp),
+                    jnp.float32(t_prev_frame - shell.timestamp),
+                    t_last_kf_in, T_prev, prev_was_kf, last_rmse0,
+                    img_right, have_right, T_lr_j, scale_state,
+                    max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                    n_slots, s, self.w, self.h, self.n_levels, intr,
+                    stereo=stereo_static)
         else:
             pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
                 _fused_frame_mono_jit(
@@ -432,10 +502,12 @@ class FullSystem:
                     stereo=stereo_static)
         fetch_tree = (fvec, ivec)
         prefetch(fetch_tree)
-        return dict(shell=shell, exposure=exposure, pyr=pyr,
+        return dict(shell=shell, exposure=exposure, image=image, pyr=pyr,
                     need_kf_j=need_kf_j, state=state_o, nxt=nxt_o,
                     raw_spec=raw, fetch_tree=fetch_tree, pot=pot,
-                    vio=s.enable_imu)
+                    vio=s.enable_imu,
+                    stereo_right=((img_right, have_right)
+                                  if stereo_static is not None else None))
 
     def _complete_fused(self, p) -> bool:
         """ONE batched readback + host bookkeeping for a dispatched fused
@@ -609,14 +681,9 @@ class FullSystem:
                 ow.publish_keyframes(kf_record, final=True)
 
     def finish_pending(self) -> None:
-        """Process the in-flight pipelined frame, if any. Must be called
-        before reading trajectories/state at a sequence boundary."""
-        p = self._pending_fused
-        if p is None:
-            return
-        self._pending_fused = None
-        redo = self._complete_fused(p)
-        self._last_chain = None if redo else p
+        """Process all in-flight pipelined frames. Must be called before
+        reading trajectories/state at a sequence boundary."""
+        self._drain_pending(0)
 
     def _finish_tracked(self, tres, pyr, shell, exposure, traced, stats):
         if tres is None:
@@ -760,12 +827,16 @@ class FullSystem:
     # ------------------------------------------------------------------
     # tracking
     # ------------------------------------------------------------------
-    def _motion_hypotheses(self, lag: int = 0) -> jnp.ndarray:
+    def _motion_hypotheses(self, lag: int = 0,
+                           no_imu: bool = False) -> jnp.ndarray:
         """lastF -> new initializations (FullSystem.cpp:148-215).
 
         lag: how many newer shells follow the frame being tracked (the
         pipelined driver processes frame i while frame i+1's shell is
-        already appended)."""
+        already appended).
+        no_imu: skip the host IMU-predicted hypothesis (the fused VIO
+        dispatch integrates it ON DEVICE from the staged sample block and
+        overrides the constant-motion primary there)."""
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
         T_ref = ref_shell.cam_to_world
         if len(self.shells) >= 3 + lag:
@@ -783,9 +854,10 @@ class FullSystem:
                 hyps = [const, dbl, half, lastF_2_sl, np.eye(4)]
                 # IMU-predicted hypothesis first (FullSystem.cpp:163-173):
                 # gyro-integrated rotation + constant-velocity translation
-                imu_hyp = self._imu_hypothesis(T_ref, T_sl, const)
-                if imu_hyp is not None:
-                    hyps.insert(0, imu_hyp)
+                if not no_imu:
+                    imu_hyp = self._imu_hypothesis(T_ref, T_sl, const, lag)
+                    if imu_hyp is not None:
+                        hyps.insert(0, imu_hyp)
             else:
                 hyps = [np.eye(4)]
         else:
@@ -807,14 +879,14 @@ class FullSystem:
                 perturbed.append(base @ Tp)
         return hyps, perturbed
 
-    def _imu_hypothesis(self, T_ref, T_slast, const_hyp):
+    def _imu_hypothesis(self, T_ref, T_slast, const_hyp, lag: int = 0):
         """Gyro-integrated rotation prediction for the tracker init."""
         if not (self.settings.enable_imu and self.imu_initialized
-                and len(self.shells) >= 2):
+                and len(self.shells) >= 2 + lag):
             return None
         from sos_slam_tpu.models import imu as IM
-        t0 = self.shells[-2].timestamp
-        t1 = self.shells[-1].timestamp
+        t0 = self.shells[-2 - lag].timestamp
+        t1 = self.shells[-1 - lag].timestamp
         samples = [s for s in self.imu_queue if t0 < s[0] <= t1]
         if len(samples) < 2:
             return None
@@ -947,10 +1019,14 @@ class FullSystem:
             # the fused step already ran the standard-hypothesis retry
             # (tries 0-4) on device; only the rotation-perturbed restart
             # phase is left — screened at the coarsest level, full track
-            # on the best 2 (FullSystem.cpp:190)
-            _, perturbed = self._motion_hypotheses(lag=0)
-            aff0 = np.asarray(self.shells[-2].aff, np.float32) \
-                if len(self.shells) >= 2 else np.zeros(2, np.float32)
+            # on the best 2 (FullSystem.cpp:190). Completion may lag the
+            # newest appended shell (pipelined driver): address the
+            # predecessor by shell index.
+            lag = len(self.shells) - 1 - shell.shell_idx
+            _, perturbed = self._motion_hypotheses(lag=lag)
+            aff0 = np.asarray(self.shells[shell.shell_idx - 1].aff,
+                              np.float32) \
+                if shell.shell_idx >= 1 else np.zeros(2, np.float32)
             coarse = run_batch(perturbed, aff0,
                                min_level=self.n_levels - 1)
             res_c = coarse["residuals"][:, self.n_levels - 1]
@@ -964,8 +1040,9 @@ class FullSystem:
 
         if best is None:
             shell.pose_valid = False
-            shell.cam_to_world = self.shells[-2].cam_to_world if \
-                len(self.shells) > 1 else np.eye(4)
+            shell.cam_to_world = \
+                self.shells[shell.shell_idx - 1].cam_to_world \
+                if shell.shell_idx >= 1 else np.eye(4)
             return None
 
         T_ref_to_new = out["T"][best]
@@ -1330,7 +1407,9 @@ class FullSystem:
         """Stage the padded IMU-sample block this frame WOULD consume if
         the device keyframe decision fires (the same split _set_imu_data
         performs) — without touching the host queue. Returns numpy
-        (acc, gyro, ts, valid, spline_valid)."""
+        (acc, gyro, ts, valid); spline validity and the in-flight-previous-
+        frame consumption mask are derived on device (_fused_frame_vio_jit /
+        _kf_chain_vio_jit), so the staging is outcome-independent."""
         from sos_slam_tpu.models import imu as IM
         samples = [q for q in self.imu_queue if q[0] <= shell.timestamp]
         samples = samples[-IM.N_IMU:]
@@ -1343,10 +1422,7 @@ class FullSystem:
             gyro[i] = g
             ts[i] = t - shell.timestamp
         valid = np.arange(IM.N_IMU) < n
-        prev_sh = self.shells[self.frame_shell_idx[-1]]
-        dt = shell.timestamp - prev_sh.timestamp
-        sv = (n > 3) and dt < self.settings.max_imu_interval
-        return acc, gyro, ts, valid, sv
+        return acc, gyro, ts, valid
 
     def _set_imu_data(self, slot: int, shell):
         """Fill the new KF's padded IMU-sample arrays from the host queue
@@ -2107,17 +2183,21 @@ def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
                       exposure, prior_row, min_act_dist, host_out, n_kf,
                       key0, shell_id, stats_dev, HdiF_in, templates_in,
                       pc_in, acc_s, gyro_s, ts_s, valid_s, timestamp,
-                      spline_valid_s, img_right, have_right, T_lr,
+                      t_last_kf_in,
+                      T_cw_ref_in, ref_aff_in, ref_exp_in, T_cw_prev_in,
+                      prev_was_kf, last_rmse0, img_right, have_right, T_lr,
                       scale_state, max_its, min_its, sizes, pot, n_slots,
                       settings, w, h, stereo=None):
     """The VIO keyframe chain, cond-gated on the device keyframe decision:
     insert + IMU sample intake + spline propagation + activation + the
     visual-inertial KKT BA + scale trapping (or the in-chain stereo scale
     solve) + VIO point/frame marginalization + new-trace selection — one
-    dispatch, one readback, like the mono/stereo chain. Dispatched with
-    host-computed inputs (the IMU queue split needs host-known keyframe
-    boundaries), so VIO runs the fused single-readback loop without the
-    1-deep pipeline."""
+    dispatch, one readback, like the mono/stereo chain. The staged IMU
+    block (`valid_s` already masked for an in-flight previous frame's
+    keyframe consumption) is consumed on device iff the decision fires;
+    spline validity is derived on device from the block and the previous
+    window KF's timestamp. Emits the same `nxt` chaining outputs as
+    _kf_chain_jit so VIO dispatches chain and pipeline like mono."""
     from sos_slam_tpu.models import imu as IM
     s = settings
     slot = jnp.sum(ba.frame_valid).astype(jnp.int32)
@@ -2131,8 +2211,12 @@ def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
             host_out, n_kf, s)
         ba2 = WIN.insert_frame(ba, T_cw_new, aff_new, exposure, prior_row)
         dI2 = dI.at[slot].set(pyr[0])
+        # spline validity (setImuData, HessianBlocks.h): >3 samples in the
+        # consumed block and a bounded gap to the previous window keyframe
+        dt_kf = timestamp - imu.timestamps[jnp.maximum(slot - 1, 0)]
+        sv = (jnp.sum(valid_s) > 3) & (dt_kf < s.max_imu_interval)
         imu2 = _set_imu_jit(imu, slot, acc_s, gyro_s, ts_s, valid_s,
-                            timestamp, spline_valid_s)
+                            timestamp, sv)
         # spline propagation for the incoming KF (HessianBlocks.cpp:357)
         T_all = B.state_to_pose(ba2.T_cw_eval, ba2.state)
         prev = jnp.maximum(slot - 1, 0)
@@ -2230,9 +2314,44 @@ def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
     state, readback = jax.lax.cond(need_kf, run, skip, None)
     (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols, marg_pts,
      host_out_o, scale_o, bg) = readback
+
+    # ---- next-frame chaining inputs (same construction as _kf_chain_jit;
+    # the dispatch program overrides the constant-motion primary with the
+    # device gyro-integrated IMU hypothesis from its own staged block) ----
+    res0 = out_step["residuals"][0, 0]
+    rms0 = jnp.where(jnp.isfinite(res0), res0, last_rmse0)
+    T_kf = T_cw_all[slot]
+    aff_kf = affs[slot]
+    T_me = jnp.where(need_kf, T_kf, T_cw_new)
+    T_ref_n = jnp.where(need_kf, T_kf, T_cw_ref_in)
+    T_prev_f = jnp.where(need_kf & prev_was_kf,
+                         T_cw_all[jnp.maximum(slot - 1, 0)], T_cw_prev_in)
+    fh_2_sl = lie.se3_inv(T_prev_f) @ T_me
+    lastF_2_sl = lie.se3_inv(T_me) @ T_ref_n
+    fh_inv = lie.se3_inv(fh_2_sl)
+    dbl = fh_inv @ fh_inv @ lastF_2_sl
+    half = lie.se3_exp(-0.5 * lie.se3_log(fh_2_sl)) @ lastF_2_sl
+    eye4 = jnp.eye(4)
+    nxt = dict(
+        T_primary=fh_inv @ lastF_2_sl,
+        T_hyps=jnp.stack([dbl, half, lastF_2_sl, eye4, eye4]),
+        aff=jnp.where(need_kf, aff_kf, aff_new),
+        th=rms0 * s.re_track_threshold,
+        rms0=rms0,
+        T_cw_ref=T_ref_n,
+        ref_aff=jnp.where(need_kf, aff_kf, ref_aff_in),
+        ref_exp=jnp.where(need_kf, exposure, ref_exp_in),
+        T_cw_prev=T_me,
+        n_kf=n_kf + need_kf.astype(jnp.int32),
+        host_out=host_out_o,
+        scale_state=scale_o[:3],
+        # most recent device-decided keyframe timestamp: later chained
+        # dispatches mask their staged IMU blocks by it (depth-agnostic)
+        t_last_kf=jnp.where(need_kf, timestamp, t_last_kf_in),
+    )
     readback = (stats5, T_cw_all, affs, marg, died, n_have, marg_ks, ecols,
                 marg_pts, host_out_o, slot, scale_o, bg)
-    return state, readback
+    return state, readback, nxt
 
 
 @functools.partial(jax.jit, static_argnames=("j", "settings", "w", "h"))
@@ -2518,6 +2637,39 @@ def _fused_frame_mono_jit(image, ba, imm, dI, templates, T_primary, T_hyps,
     return pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec
 
 
+def _imu_hyp_device(T_prev, T_cw_ref, T_primary_const, T_hyps_const,
+                    gyro_s, ts_s, valid_s, ts_thresh, bg, settings):
+    """Gyro-integrated rotation hypothesis for the tracker init
+    (FullSystem.cpp:163-173; device analog of _imu_hypothesis), computed
+    from the staged IMU block's samples in (t_prev_frame, t_new]. When at
+    least 2 samples fall in the window, the IMU prediction becomes the
+    primary hypothesis and the constant-motion one shifts into the retry
+    batch — exactly the host's hypothesis staging, with no readback."""
+    ric = jnp.asarray(np.asarray(settings.rot_imu_cam, np.float32)
+                      .reshape(3, 3))
+    in_win = valid_s & (ts_s > ts_thresh)
+    t_eff = jnp.maximum(ts_s, ts_thresh)
+    t_pre = jnp.concatenate([jnp.reshape(ts_thresh, (1,)), t_eff[:-1]])
+    dts = jnp.where(in_win, jnp.maximum(t_eff - t_pre, 0.0), 0.0)
+    w_cam = (gyro_s - bg[None, :]) @ ric          # == (ric^T (g - bg))^T
+
+    def step(R, x):
+        dt, wv = x
+        return R @ lie.so3_exp(wv * dt), None
+
+    R, _ = jax.lax.scan(step, T_prev[:3, :3], (dts, w_cam), unroll=8)
+    T_pred = T_cw_ref @ lie.se3_inv(T_primary_const)
+    T_pred = T_pred.at[:3, :3].set(R)
+    T_imu = lie.se3_inv(T_pred) @ T_cw_ref
+    use = jnp.sum(in_win) >= 2
+    T_primary = jnp.where(use, T_imu, T_primary_const)
+    T_hyps = jnp.where(
+        use,
+        jnp.concatenate([T_primary_const[None], T_hyps_const[:-1]], 0),
+        T_hyps_const)
+    return T_primary, T_hyps
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sizes", "pot", "n_slots", "settings", "w", "h", "n_levels", "intr",
     "stereo"))
@@ -2527,28 +2679,52 @@ def _fused_frame_vio_jit(image, ba, imu, imm, dI, templates, T_primary,
                          min_act_dist, host_out, n_kf, key0, shell_id,
                          HdiF_in, pc_in,
                          acc_s, gyro_s, ts_s, valid_s, timestamp,
-                         spline_valid_s, img_right, have_right, T_lr,
+                         ts_thresh, t_last_kf_in,
+                         T_cw_prev_in, prev_was_kf, last_rmse0,
+                         img_right, have_right, T_lr,
                          scale_state, max_its, min_its,
                          sizes, pot, n_slots, settings, w, h, n_levels,
                          intr, stereo=None):
     """VIO variant of the merged per-frame program (step + decision +
-    VIO keyframe chain + packed readback)."""
+    VIO keyframe chain + packed readback). The staged IMU block comes
+    from the host queue WITHOUT assuming in-flight frames' keyframe
+    outcomes: `t_last_kf_in` is the device-chained timestamp of the most
+    recent (possibly still in-flight) device-decided keyframe, and
+    samples at or before it are masked out of the consumable block —
+    making pipelined staging bit-identical to synchronous staging at any
+    pipeline depth. The IMU tracking hypothesis is integrated on device
+    from the same block, so dispatches chain with zero host readbacks."""
+    from sos_slam_tpu.models import imu as IM
+    valid_eff = valid_s & (ts_s > t_last_kf_in - timestamp)
+    # compact surviving samples to the FRONT of the padded block: the
+    # synchronous driver stages from a reconciled queue (samples start at
+    # index 0), and downstream f32 reductions are position-sensitive —
+    # compaction keeps pipelined staging BIT-identical to sync staging
+    order = jnp.argsort(jnp.logical_not(valid_eff))   # stable
+    acc_s, gyro_s, ts_s = acc_s[order], gyro_s[order], ts_s[order]
+    valid_eff = valid_eff[order]
+    newest = jnp.maximum(jnp.sum(ba.frame_valid).astype(jnp.int32) - 1, 0)
+    bg = (imu.state[newest] * IM.IMU_SCALE21)[3:6]
+    T_primary, T_hyps = _imu_hyp_device(
+        T_cw_prev_in, T_cw_ref, T_primary, T_hyps, gyro_s, ts_s, valid_eff,
+        ts_thresh, bg, settings)
     pyr, out_j, imm_new, accept_j, T_cw_new_j, stats_dev = _frame_step_jit(
         image, ba, imm, templates, T_primary, T_hyps, T_cw_ref, aff0,
         ref_aff, ref_exp, exposure, achieve_th, settings, w, h, n_levels,
         intr)
     need_kf_j = _need_kf_jit(out_j, accept_j, exposure, ref_exp,
                              first_rmse, n_kf, settings, w, h)
-    state_o, readback = _kf_chain_vio_jit(
+    state_o, readback, nxt_o = _kf_chain_vio_jit(
         need_kf_j, ba, imu, imm_new, dI, pyr, out_j, T_cw_new_j, exposure,
         prior_row, min_act_dist, host_out, n_kf, key0, shell_id, stats_dev,
-        HdiF_in, templates, pc_in, acc_s, gyro_s, ts_s, valid_s, timestamp,
-        spline_valid_s, img_right, have_right, T_lr, scale_state,
+        HdiF_in, templates, pc_in, acc_s, gyro_s, ts_s, valid_eff,
+        timestamp, t_last_kf_in, T_cw_ref, ref_aff, ref_exp, T_cw_prev_in,
+        prev_was_kf, last_rmse0, img_right, have_right, T_lr, scale_state,
         max_its, min_its, sizes, pot, n_slots, settings, w, h,
         stereo=stereo)
     raw = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
     fvec, ivec = _pack_fetch(raw)
-    return pyr, need_kf_j, state_o, raw, fvec, ivec
+    return pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec
 
 
 def _shift_host_out(ho, k):

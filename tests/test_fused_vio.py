@@ -71,7 +71,7 @@ def _settings(**kw):
         min_g_imu=10, **kw)
 
 
-def _run_vio(fused: bool, stereo: bool = False):
+def _run_vio(fused: bool, stereo: bool = False, pipeline: bool = True):
     calib = synthetic.default_calib(W, H)
     st = None
     T_lr_world = np.eye(4)
@@ -85,6 +85,7 @@ def _run_vio(fused: bool, stereo: bool = False):
     poses = [pose_at(i * FRAME_DT) for i in range(N_FRAMES)]
     fs = FullSystem(calib, settings, stereo=st)
     fs.fused_kf = fused
+    fs.pipeline = pipeline
     t_prev = -FRAME_DT
     for i in range(N_FRAMES):
         t = i * FRAME_DT
@@ -148,6 +149,26 @@ def test_fused_vio_metric_trajectory(vio_pair):
     ate = np.sqrt(np.mean(err ** 2))
     path = np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1))
     assert ate < 0.15 * max(path, 1e-9) + 0.03, (ate, path)
+
+
+def test_pipelined_vio_bitwise_matches_sync(vio_pair):
+    """Pipelining only changes WHEN readbacks happen: the depth-N pipelined
+    fused VIO driver consumes bit-identical chained device values (staged
+    IMU blocks masked by the chained last-KF timestamp), so trajectories,
+    keyframe sets and window state must match the sync fused driver
+    exactly."""
+    _, fs_p, _ = vio_pair                      # pipeline=True (default)
+    fs_s, _ = _run_vio(fused=True, pipeline=False)
+    assert not fs_s.is_lost and not fs_s.init_failed
+
+    traj_s, traj_p = fs_s.trajectory(), fs_p.trajectory()
+    assert traj_s[:, 0].astype(int).tolist() == \
+        traj_p[:, 0].astype(int).tolist(), "keyframe sets differ"
+    np.testing.assert_array_equal(traj_s[:, 1:4], traj_p[:, 1:4])
+    np.testing.assert_array_equal(np.asarray(fs_s.ba.state),
+                                  np.asarray(fs_p.ba.state))
+    np.testing.assert_array_equal(np.asarray(fs_s.imu.state),
+                                  np.asarray(fs_p.imu.state))
 
 
 def test_fused_stereo_vio_full_config():
