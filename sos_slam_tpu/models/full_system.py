@@ -271,14 +271,18 @@ class FullSystem:
         return True
 
     def _pipeline_ready(self) -> bool:
-        """1-deep pipelining waits for the bootstrap to settle: after 4
-        keyframes the BA iteration budget and the init-failure RMSE gates
-        are constant, so a pending frame's chain can dispatch with the
-        steady-state parameters. VIO pipelines once the IMU is initialized
-        (which implies >= 5 keyframes): IMU staging is outcome-independent
-        — the device masks the staged block by the in-flight frame's own
-        keyframe decision."""
-        if not (self.pipeline and len(self.kf_shell_ids) >= 4):
+        """Pipelining is active from the first post-initialization frame:
+        the keyframe chain derives the bootstrap BA iteration budget
+        (20/15 iterations for keyframes 2-3) from the DEVICE-chained
+        keyframe count and chains first_rmse, so in-flight dispatches are
+        bit-identical to synchronous ones at any bootstrap stage. The
+        init-failure RMSE gates stay host-side: a failing bootstrap
+        keyframe sets init_failed at completion and the in-flight frames
+        are discarded with the rebuilt system. VIO pipelines once the IMU
+        is initialized (>= 5 keyframes): IMU staging is
+        outcome-independent — the device masks the staged block by the
+        in-flight frame's own keyframe decision."""
+        if not self.pipeline:
             return False
         return (not self.settings.enable_imu) or self.imu_initialized
 
@@ -304,12 +308,10 @@ class FullSystem:
                                         chain=newest)
             q.append(spec)
         else:
-            # chained dispatch assumes the steady-state BA iteration budget;
-            # during bootstrap (n_kf < 4: 20/15-iteration keyframes) the
-            # dispatch must come from host state with the right budget
-            # (fused VIO implies imu_initialized, i.e. >= 5 keyframes).
-            src = self._last_chain if len(self.kf_shell_ids) >= 4 else None
-            spec = self._dispatch_fused(image, shell, exposure, chain=src)
+            # the chain derives the bootstrap BA budget from the device
+            # keyframe count, so chaining is valid at any n_kf
+            spec = self._dispatch_fused(image, shell, exposure,
+                                        chain=self._last_chain)
             q.append(spec)
         depth = self.pipeline_depth if self._pipeline_ready() else 0
         self._drain_pending(depth)
@@ -427,9 +429,7 @@ class FullSystem:
             scale_state = (jnp.float32(self.current_scale),
                            jnp.asarray(self.scale_trapped),
                            jnp.int32(self.scale_opt_fails))
-            n_kf_next = len(self.kf_shell_ids) + 1
-            max_its = 20 if n_kf_next < 3 else \
-                (15 if n_kf_next < 4 else s.max_opt_iterations)
+            first_rmse_in = jnp.float32(self.first_coarse_rmse)
             imu_in = self.imu
             # host queue is fully reconciled here: no device-side masking
             t_last_kf_in = jnp.float32(-1e30)
@@ -442,6 +442,7 @@ class FullSystem:
             T_prev = nxt["T_cw_prev"]
             prev_was_kf = chain["need_kf_j"]
             last_rmse0 = nxt["rms0"]
+            first_rmse_in = nxt["first_rmse"]
             n_kf_j, host_out_j = nxt["n_kf"], nxt["host_out"]
             scale_state = nxt["scale_state"]
             if s.enable_imu:
@@ -454,7 +455,6 @@ class FullSystem:
             else:
                 (ba_in, imm_in, dI_in, min_act_in, HdiF_in, templates_in,
                  pc_in) = chain["state"]
-            max_its = s.max_opt_iterations   # chained only in steady state
 
         if s.enable_imu:
             # VIO chain: the candidate IMU block is staged from the host
@@ -474,7 +474,7 @@ class FullSystem:
                     jnp.asarray(image, jnp.float32), ba_in, imu_in, imm_in,
                     dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
                     ref_aff, ref_exp, jnp.float32(exposure), th,
-                    jnp.float32(self.first_coarse_rmse),
+                    first_rmse_in,
                     self._prior_row(first=False), min_act_in, host_out_j,
                     n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
                     jnp.asarray(acc_s), jnp.asarray(gyro_s),
@@ -483,7 +483,8 @@ class FullSystem:
                     jnp.float32(t_prev_frame - shell.timestamp),
                     t_last_kf_in, T_prev, prev_was_kf, last_rmse0,
                     img_right, have_right, T_lr_j, scale_state,
-                    max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                    s.max_opt_iterations, s.min_opt_iterations,
+                    self.tmpl_sizes, pot,
                     n_slots, s, self.w, self.h, self.n_levels, intr,
                     stereo=stereo_static)
         else:
@@ -492,12 +493,13 @@ class FullSystem:
                     jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
                     templates_in, T_primary, T_hyps, T_ref, aff0_j,
                     ref_aff, ref_exp, jnp.float32(exposure), th,
-                    jnp.float32(self.first_coarse_rmse),
+                    first_rmse_in,
                     self._prior_row(first=False), min_act_in, host_out_j,
                     n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
                     T_prev, prev_was_kf, last_rmse0,
                     img_right, have_right, T_lr_j, scale_state,
-                    max_its, s.min_opt_iterations, self.tmpl_sizes, pot,
+                    s.max_opt_iterations, s.min_opt_iterations,
+                    self.tmpl_sizes, pot,
                     n_slots, s, self.w, self.h, self.n_levels, intr,
                     stereo=stereo_static)
         fetch_tree = (fvec, ivec)
@@ -2062,6 +2064,11 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
     slot = jnp.sum(ba.frame_valid).astype(jnp.int32)
     key = jax.random.fold_in(key0, shell_id)
     aff_new = out_step["aff"][0]
+    # bootstrap BA budget from the DEVICE-chained keyframe count (incl.
+    # this keyframe) — matches _make_keyframe's 20/15-iteration ladder, so
+    # in-flight bootstrap keyframes solve with the synchronous budget
+    max_its = jnp.where(n_kf + 1 < 3, 20,
+                        jnp.where(n_kf + 1 < 4, 15, max_its))
 
     def run(_):
         pt_in, imm_in, aff_j, T_cw_stats = stats_dev
@@ -2203,6 +2210,11 @@ def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
     slot = jnp.sum(ba.frame_valid).astype(jnp.int32)
     key = jax.random.fold_in(key0, shell_id)
     aff_new = out_step["aff"][0]
+    # bootstrap BA budget from the DEVICE-chained keyframe count (incl.
+    # this keyframe) — matches _make_keyframe's 20/15-iteration ladder, so
+    # in-flight bootstrap keyframes solve with the synchronous budget
+    max_its = jnp.where(n_kf + 1 < 3, 20,
+                        jnp.where(n_kf + 1 < 4, 15, max_its))
 
     def run(_):
         pt_in, imm_in, aff_j, T_cw_stats = stats_dev
@@ -2632,6 +2644,12 @@ def _fused_frame_mono_jit(image, ba, imm, dI, templates, T_primary, T_hyps,
         img_right, have_right, T_lr, scale_state,
         max_its, min_its, sizes, pot, n_slots, settings, w, h,
         stereo=stereo)
+    # chained first-RMSE (host sets first_coarse_rmse from the first
+    # tracked frame's res0; in-flight successors must see the same value)
+    res0_step = out_j["residuals"][0, 0]
+    nxt_o = dict(nxt_o, first_rmse=jnp.where(
+        (first_rmse < 0) & accept_j & jnp.isfinite(res0_step),
+        res0_step, first_rmse))
     raw = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
     fvec, ivec = _pack_fetch(raw)
     return pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec
@@ -2722,6 +2740,10 @@ def _fused_frame_vio_jit(image, ba, imu, imm, dI, templates, T_primary,
         prev_was_kf, last_rmse0, img_right, have_right, T_lr, scale_state,
         max_its, min_its, sizes, pot, n_slots, settings, w, h,
         stereo=stereo)
+    res0_step = out_j["residuals"][0, 0]
+    nxt_o = dict(nxt_o, first_rmse=jnp.where(
+        (first_rmse < 0) & accept_j & jnp.isfinite(res0_step),
+        res0_step, first_rmse))
     raw = (need_kf_j, out_j, accept_j, T_cw_new_j, readback)
     fvec, ivec = _pack_fetch(raw)
     return pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec
