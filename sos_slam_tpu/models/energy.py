@@ -149,6 +149,10 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     # final linearization: permanently drop OOB/outlier residuals
     pre = B.make_precalc(ba)
     lin = B.linearize(ba, pre, dI, settings, w, h)
+    # point idepth-Hessian inverses (template weights + marg gates) ride
+    # the same linearization — a separate post-optimize pass would repeat
+    # the gather-bound (P,F,8) linearize, the chain's hottest op
+    HdiF = B.accumulate_schur(ba, pre, lin).HdiF
     ba = ba._replace(
         energy_th=update_energy_th(ba, lin, settings),
         res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
@@ -160,7 +164,7 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     is_lost = ~jnp.isfinite(energy_final)
     return ba, dict(energy=energy_final, rmse=rmse, n_its=n_its,
-                    n_active=n_active, is_lost=is_lost)
+                    n_active=n_active, is_lost=is_lost, HdiF=HdiF)
 
 
 def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
@@ -269,6 +273,7 @@ def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     # final linearization + residual pruning (same as mono)
     pre = B.make_precalc(ba)
     lin = B.linearize(ba, pre, dI, settings, w, h)
+    HdiF = B.accumulate_schur(ba, pre, lin).HdiF   # see optimize()
     ba = ba._replace(
         energy_th=update_energy_th(ba, lin, settings),
         res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
@@ -280,7 +285,7 @@ def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     return ba, imu, dict(energy=energy_final, rmse=rmse, n_its=n_its,
                          n_active=n_active,
-                         is_lost=~jnp.isfinite(energy_final))
+                         is_lost=~jnp.isfinite(energy_final), HdiF=HdiF)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

@@ -1886,7 +1886,7 @@ def _activation_jit(ba, imm, dI, min_act_dist, w, h, settings):
     # and activate at the next keyframe.
     N = imm.u.shape[0]
     K = min(1024, N)
-    _, idx = jax.lax.top_k(want.astype(jnp.float32), K)
+    idx, _ = selector.compact_mask_indices(want, K)
     sub = jax.tree.map(lambda a: a[idx], imm)
     idepth_k, ok_k, _ = TR.activate_points(
         sub, want[idx], dI, pre.R, pre.t, pre.affLL, ba.frame_valid,
@@ -2448,7 +2448,7 @@ def _kf_core_vio_jit(ba, imu, dI, pyr, settings, w, h, sizes, max_its,
     of _kf_core_jit)."""
     ba, imu, stats = E.optimize_vio(ba, imu, dI, settings, w, h,
                                     max_its=max_its, min_its=min_its)
-    HdiF = _hdif_jit(ba, dI, settings, w, h)
+    HdiF = stats.pop("HdiF")   # rides the final linearization
     templates, pc_l0 = WIN.build_track_template(
         ba, HdiF, pyr, len(pyr), sizes, w, h)
     return (ba, imu, stats, HdiF, templates, pc_l0,
@@ -2853,7 +2853,7 @@ def _kf_core_jit(ba, dI, pyr, settings, w, h, sizes, max_its, min_its):
     template rebuild — one device call instead of four."""
     ba, stats = E.optimize(ba, dI, settings, w, h, max_its=max_its,
                            min_its=min_its)
-    HdiF = _hdif_jit(ba, dI, settings, w, h)
+    HdiF = stats.pop("HdiF")   # rides the final linearization
     templates, pc_l0 = WIN.build_track_template(
         ba, HdiF, pyr, len(pyr), sizes, w, h)
     return (ba, stats, HdiF, templates, pc_l0,

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.ops import selector
 from sos_slam_tpu.ops.image import downsample2x
 from sos_slam_tpu.ops.tracker import LevelTemplate
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS
@@ -118,8 +119,7 @@ def build_track_template(
         good = border & (idn > 0) & jnp.isfinite(color)
 
         flat_good = good.reshape(-1)
-        _, idx = jax.lax.top_k(flat_good.astype(jnp.float32), sizes[lvl])
-        sel_ok = flat_good[idx]
+        idx, sel_ok = selector.compact_mask_indices(flat_good, sizes[lvl])
         u_t = (idx % wl).astype(jnp.float32)
         v_t = (idx // wl).astype(jnp.float32)
         templates.append(LevelTemplate(

@@ -41,7 +41,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from sos_slam_tpu.ops.image import interp_bilinear, interp_bilinear_nfk
+from sos_slam_tpu.ops.image import (interp_bilinear,
+                                    interp_bilinear_frames,
+                                    interp_bilinear_nfk)
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.config import CPARS, PATTERN_OFFSETS, Settings
 
@@ -313,15 +315,10 @@ def linearize(ba: BAState, pre: Precalc, dI: jnp.ndarray,
     Kvp = ptp_c[..., 1] / z * fy + cy
     pat_ok &= (Kup > 1.1) & (Kvp > 1.1) & (Kup < w - 3) & (Kvp < h - 3)
 
-    # gather hit colors per target frame: vmap over F of (P,8) interp
-    # (a per-(point,frame) patch-slice variant measured SLOWER here:
-    # 16k tiny dynamic slices beat the flat gather only for the trace
-    # sweep's much larger per-point tap counts — see interp_bilinear_nfk)
-    def hit_one(dI_f, Ku_f, Kv_f):
-        return interp_bilinear(dI_f, Ku_f, Kv_f)   # (P,8,3)
-
-    hit = jax.vmap(hit_one, in_axes=(0, 1, 1), out_axes=1)(dI, Kup, Kvp)
-    # hit: (P,F,8,3)
+    # gather hit colors for all target frames in ONE fused 4-corner take
+    # (a vmap over F emits a ~350x slower batched gather; a per-(p,f)
+    # patch-slice variant also measured slower — see interp_bilinear_nfk)
+    hit = interp_bilinear_frames(dI, Kup, Kvp)   # (P,F,8,3)
     hit_ok = jnp.isfinite(hit[..., 0])
     ok = geo_ok[:, :, None] & pat_ok & hit_ok
     oob = ~jnp.all(ok, -1)   # any bad pattern pixel -> OOB (reference behavior)

@@ -121,6 +121,40 @@ def interp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return out
 
 
+def interp_bilinear_frames(dI: jnp.ndarray, Ku: jnp.ndarray,
+                           Kv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample stacked frames dI (F,H,W[,C]) at positions Ku/Kv of
+    shape (..., F, K) — frame axis second-to-last. Returns (..., F, K[, C]).
+
+    ONE fused 4-corner gather over the flattened (F*H*W, C) plane, bitwise
+    identical to a per-frame `interp_bilinear`. NEVER vmap interp_bilinear
+    over the frame axis instead: the batched gather XLA emits for that is
+    ~350x slower on TPU (42 ms vs 0.12 ms at the BA-linearize shape,
+    scripts/probe_lin_gather.py) and was the dominant cost of the entire
+    keyframe chain."""
+    F, H, W = dI.shape[0], dI.shape[1], dI.shape[2]
+    flat = dI.reshape(F * H * W, -1)
+    x0 = jnp.clip(jnp.floor(Ku), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(Kv), 0, H - 2).astype(jnp.int32)
+    dx = jnp.clip(Ku - x0, 0.0, 1.0)[..., None]
+    dy = jnp.clip(Kv - y0, 0.0, 1.0)[..., None]
+    fofs = (jnp.arange(F, dtype=jnp.int32) * (H * W))[:, None]   # (F,1)
+    idx = fofs + y0 * W + x0
+    tl = jnp.take(flat, idx, axis=0)
+    tr = jnp.take(flat, idx + 1, axis=0)
+    bl = jnp.take(flat, idx + W, axis=0)
+    br = jnp.take(flat, idx + W + 1, axis=0)
+    out = (
+        tl * (1 - dx) * (1 - dy)
+        + tr * dx * (1 - dy)
+        + bl * (1 - dx) * dy
+        + br * dx * dy
+    )
+    if dI.ndim == 3:
+        return out[..., 0]
+    return out
+
+
 def in_bounds(u: jnp.ndarray, v: jnp.ndarray, w: int, h: int,
               pad: float = 2.0) -> jnp.ndarray:
     """Validity mask for sampling with `pad` pixels of border margin."""

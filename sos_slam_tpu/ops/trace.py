@@ -19,7 +19,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from sos_slam_tpu.ops.image import interp_bilinear, interp_bilinear_nfk
+from sos_slam_tpu.ops.image import (interp_bilinear,
+                                    interp_bilinear_frames,
+                                    interp_bilinear_nfk)
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
 
 # status codes (ImmaturePointStatus, ImmaturePoint.h)
@@ -413,10 +415,9 @@ def activate_points(
         Kv = vv * fy + cy
         ok = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < w - 3) & (Kv < h - 3)
 
-        def hit_one(dI_f, Ku_f, Kv_f):
-            return interp_bilinear(dI_f, Ku_f, Kv_f)
-
-        hit = jax.vmap(hit_one, in_axes=(0, 1, 1), out_axes=1)(dI, Ku, Kv)
+        # one fused 4-corner take over all frames (a vmap over F emits a
+        # ~350x slower batched gather on TPU — scripts/probe_lin_gather.py)
+        hit = interp_bilinear_frames(dI, Ku, Kv)
         ok &= jnp.isfinite(hit[..., 0])
         oob = oob_in | ~jnp.all(ok, -1)     # any bad pattern pixel -> res OOB
 

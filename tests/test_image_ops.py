@@ -137,3 +137,80 @@ class TestTwoPlanes:
         assert abs(left.mean() - 0.5) < 0.05      # z_near = 2
         assert abs(right.mean() - 1.0 / 6.0) < 0.05  # z_far = 6
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestFusedGatherPrimitives:
+    """Exact-equivalence tests for the TPU-fast gather/compaction forms
+    that replaced vmapped gathers and sorts on the hot path."""
+
+    def test_interp_bilinear_frames_matches_per_frame(self):
+        rng = np.random.default_rng(0)
+        F, H, W = 4, 40, 56
+        dI = jnp.asarray(rng.normal(size=(F, H, W, 3)).astype(np.float32))
+        Ku = jnp.asarray(rng.uniform(0, W - 1, size=(17, F, 8))
+                         .astype(np.float32))
+        Kv = jnp.asarray(rng.uniform(0, H - 1, size=(17, F, 8))
+                         .astype(np.float32))
+        fused = imops.interp_bilinear_frames(dI, Ku, Kv)
+        ref = jax.vmap(
+            lambda d, u, v: imops.interp_bilinear(d, u, v),
+            in_axes=(0, 1, 1), out_axes=1)(dI, Ku, Kv)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+    def test_interp_bilinear_frames_single_channel(self):
+        rng = np.random.default_rng(1)
+        F, H, W = 3, 24, 32
+        dI = jnp.asarray(rng.normal(size=(F, H, W)).astype(np.float32))
+        Ku = jnp.asarray(rng.uniform(0, W - 1, size=(9, F, 2))
+                         .astype(np.float32))
+        Kv = jnp.asarray(rng.uniform(0, H - 1, size=(9, F, 2))
+                         .astype(np.float32))
+        fused = imops.interp_bilinear_frames(dI, Ku, Kv)
+        ref = jax.vmap(
+            lambda d, u, v: imops.interp_bilinear(d, u, v),
+            in_axes=(0, 1, 1), out_axes=1)(dI, Ku, Kv)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+    def test_compact_mask_indices_matches_topk(self):
+        rng = np.random.default_rng(2)
+        for n, k, p in [(100, 16, 0.5), (500, 64, 0.05), (64, 64, 0.9),
+                        (300, 32, 0.0), (300, 32, 1.0)]:
+            mask = jnp.asarray(rng.uniform(size=n) < p)
+            idx, ok = selector.compact_mask_indices(mask, k)
+            _, idx_ref = jax.lax.top_k(mask.astype(jnp.float32), k)
+            ok_ref = mask[idx_ref]
+            np.testing.assert_array_equal(np.asarray(idx),
+                                          np.asarray(idx_ref))
+            np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+
+    def test_block_thresholds_matches_sort_quantile(self):
+        rng = np.random.default_rng(3)
+        h, w = 96, 128
+        absgrad = jnp.asarray((rng.uniform(size=(h, w)) * 2500.0)
+                              .astype(np.float32))
+        cut, add = 0.5, 7.0
+        ths = np.asarray(selector.block_thresholds(absgrad, cut, add))
+
+        # reference form: per-block sort quantile of the integer-floored
+        # magnitudes (the pre-histogram implementation)
+        g = np.clip(np.floor(np.sqrt(np.maximum(np.asarray(absgrad), 0.0))),
+                    0, 48)
+        xi, yi = np.arange(w), np.arange(h)
+        valid = ((xi >= 1) & (xi <= w - 2))[None, :] \
+            & ((yi >= 1) & (yi <= h - 2))[:, None]
+        h32, w32 = h // 32, w // 32
+        gb = g[:h32 * 32, :w32 * 32].reshape(h32, 32, w32, 32) \
+            .transpose(0, 2, 1, 3).reshape(h32, w32, 1024)
+        vb = valid[:h32 * 32, :w32 * 32].reshape(h32, 32, w32, 32) \
+            .transpose(0, 2, 1, 3).reshape(h32, w32, 1024)
+        gb = np.where(vb, gb, 1e9)
+        gb_sorted = np.sort(gb, axis=-1)
+        n_valid = vb.sum(-1)
+        th_idx = np.clip((n_valid * cut + 0.5).astype(int), 0, 1023)
+        raw = np.take_along_axis(gb_sorted, th_idx[..., None], -1)[..., 0]
+        raw = np.minimum(raw, 48.0) + add
+        ker = np.ones((3, 3))
+        from scipy.signal import convolve2d
+        sm = convolve2d(raw, ker, mode="same") / \
+            convolve2d(np.ones_like(raw), ker, mode="same")
+        np.testing.assert_allclose(ths, sm * sm, rtol=1e-6)
