@@ -2083,14 +2083,15 @@ def _kf_chain_jit(need_kf, ba, imm, dI, pyr, out_step, T_cw_new, exposure,
         ba3, imm3, marg, died, n_have = _marg_select_jit(
             ba2, imm2, dI2, HdiF2, flags, pyr[0], slot, key,
             jnp.float32(s.desired_immature_density), s, w, h, pot, n_slots)
-        dI3 = dI2
         host_out2 = host_out + died
         ecols = []
+        dimap = jnp.arange(ba.F, dtype=jnp.int32)
         for j in range(MAX_MARG_FRAMES):
-            ba3, imm3, dI3, e_col, n_col = _maybe_marg_frame_jit(
-                ba3, imm3, dI3, marg_ks, j, s, w, h)
+            ba3, imm3, dimap, e_col, n_col = _maybe_marg_frame_lean_jit(
+                ba3, imm3, dI2, dimap, marg_ks, j, s, w, h)
             host_out2 = _shift_host_out(host_out2, marg_ks[j])
             ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
+        dI3 = _compact_dI(dI2, dimap, jnp.sum(ba3.frame_valid))
 
         # stereo 1-DoF scale solve on the fresh template (optimizeScale,
         # FullSystem.cpp:1117-1180) with trapping / fail counting
@@ -2290,14 +2291,16 @@ def _kf_chain_vio_jit(need_kf, ba, imu, imm, dI, pyr, out_step, T_cw_new,
             imm2, pyr[0], slot, key,
             jnp.float32(s.desired_immature_density), s, pot, n_slots)
 
-        dI3 = dI2
         host_out2 = host_out + died
         ecols = []
+        dimap = jnp.arange(ba.F, dtype=jnp.int32)
         for j in range(MAX_MARG_FRAMES):
-            ba4, imm3, dI3, imu5, e_col, n_col = _maybe_marg_frame_vio_jit(
-                ba4, imm3, dI3, imu5, marg_ks, j, s, w, h)
+            (ba4, imm3, imu5, dimap, e_col,
+             n_col) = _maybe_marg_frame_vio_lean_jit(
+                ba4, imm3, imu5, dI2, dimap, marg_ks, j, s, w, h)
             host_out2 = _shift_host_out(host_out2, marg_ks[j])
             ecols.append(jnp.stack([e_col, n_col.astype(jnp.float32)]))
+        dI3 = _compact_dI(dI2, dimap, jnp.sum(ba4.frame_valid))
 
         newest = jnp.sum(ba4.frame_valid).astype(jnp.int32) - 1
         bg = (imu5.state[newest] * IM.IMU_SCALE21)[3:6]
@@ -2406,6 +2409,74 @@ def _maybe_marg_frame_jit(ba, imm, dI, marg_ks, j, settings, w, h):
         return ba_, imm_, dI_, jnp.float32(0.0), jnp.int32(0)
 
     return jax.lax.cond(k >= 0, do, skip, (ba, imm, dI))
+
+
+def _maybe_marg_frame_lean_jit(ba, imm, dI, dimap, marg_ks, j, settings,
+                               w, h):
+    """Cond-gated frame marginalization with dI kept OUT of the cond carry:
+    the identity branch of a cond copies every output, and dI is a ~29 MB
+    image stack — ~3 ms of pure copy per skipped slot. Instead the freed
+    slot's physical dI row is tracked in `dimap` (slot -> row) and the
+    caller compacts dI ONCE after all marg slots. The dso_error energy
+    reads the dying slot's image through dimap."""
+    k = marg_ks[j]
+
+    def do(args):
+        ba_, imm_, dimap_ = args
+        pre = B.make_precalc(ba_)
+        energy, new_state = B.linearize_energy_col(
+            ba_, pre, dI, k, settings, w, h, row=dimap_[k])
+        col = ba_.res_exist[:, k] & ba_.pt_valid & (new_state == B.RES_IN)
+        e_col = jnp.sum(jnp.where(col, energy, 0.0))
+        n_col = jnp.sum(col)
+        ba_, imm_ = _pre_marg_jit(ba_, imm_, k)
+        ba_ = E.marginalize_frame(ba_, k)
+        F = dimap_.shape[0]
+        idx = jnp.arange(F)
+        src = jnp.minimum(jnp.where(idx < k, idx, idx + 1), F - 1)
+        dimap2 = jnp.where(idx == F - 1, dimap_[k], dimap_[src])
+        return ba_, imm_, dimap2, e_col, n_col
+
+    def skip(args):
+        ba_, imm_, dimap_ = args
+        return ba_, imm_, dimap_, jnp.float32(0.0), jnp.int32(0)
+
+    return jax.lax.cond(k >= 0, do, skip, (ba, imm, dimap))
+
+
+def _maybe_marg_frame_vio_lean_jit(ba, imm, imu, dI, dimap, marg_ks, j,
+                                   settings, w, h):
+    """VIO twin of _maybe_marg_frame_lean_jit (29-dim Schur fold)."""
+    k = marg_ks[j]
+
+    def do(args):
+        ba_, imm_, imu_, dimap_ = args
+        pre = B.make_precalc(ba_)
+        energy, new_state = B.linearize_energy_col(
+            ba_, pre, dI, k, settings, w, h, row=dimap_[k])
+        col = ba_.res_exist[:, k] & ba_.pt_valid & (new_state == B.RES_IN)
+        e_col = jnp.sum(jnp.where(col, energy, 0.0))
+        n_col = jnp.sum(col)
+        ba_, imm_ = _pre_marg_jit(ba_, imm_, k)
+        ba_, imu_ = E.marginalize_frame_vio(ba_, imu_, k, settings)
+        F = dimap_.shape[0]
+        idx = jnp.arange(F)
+        src = jnp.minimum(jnp.where(idx < k, idx, idx + 1), F - 1)
+        dimap2 = jnp.where(idx == F - 1, dimap_[k], dimap_[src])
+        return ba_, imm_, imu_, dimap2, e_col, n_col
+
+    def skip(args):
+        ba_, imm_, imu_, dimap_ = args
+        return ba_, imm_, imu_, dimap_, jnp.float32(0.0), jnp.int32(0)
+
+    return jax.lax.cond(k >= 0, do, skip, (ba, imm, imu, dimap))
+
+
+def _compact_dI(dI, dimap, n_live):
+    """Apply the deferred slot->row compaction: one gather of the stack +
+    zeroed freed rows (bitwise what the per-marg in-cond compaction left)."""
+    live = (jnp.arange(dI.shape[0]) < n_live).astype(dI.dtype)
+    return dI[dimap] * live[:, None, None, None]
 
 
 @jax.jit
@@ -2907,11 +2978,14 @@ def _flag_points_jit(ba, HdiF, flagged_hosts, settings):
 @functools.partial(jax.jit, static_argnames=("settings", "w", "h"))
 def _frame_residual_energy(ba, dI, k, settings, w, h):
     """Sum + count of live residual energies targeting frame slot k
-    (the dso_error ingredient, FullSystemMarginalize.cpp:151-187)."""
+    (the dso_error ingredient, FullSystemMarginalize.cpp:151-187).
+    Column-restricted linearization: 1/F of the full gather."""
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
-    col = ba.res_exist[:, k] & ba.pt_valid & (lin.new_state[:, k] == B.RES_IN)
-    e = jnp.sum(jnp.where(col, lin.energy[:, k], 0.0))
+    k = jnp.asarray(k, jnp.int32)
+    energy, new_state = B.linearize_energy_col(ba, pre, dI, k, settings,
+                                               w, h)
+    col = ba.res_exist[:, k] & ba.pt_valid & (new_state == B.RES_IN)
+    e = jnp.sum(jnp.where(col, energy, 0.0))
     return e, jnp.sum(col)
 
 

@@ -33,13 +33,15 @@ def _unpack(prefix: str, cls, data) -> object:
 
 
 def save_snapshot(fs: FullSystem, path: str) -> None:
+    # drain in-flight pipelined frames FIRST: fs.ba/imm/imu lag the
+    # dispatched frames until their completions are read back
+    if hasattr(fs, "finish_pending"):
+        fs.finish_pending()
     out: dict = {}
     _pack("ba", fs.ba, out)
     _pack("imm", fs.imm, out)
     if fs.imu is not None:
         _pack("imu", fs.imu, out)
-    if hasattr(fs, "finish_pending"):
-        fs.finish_pending()
     out["dI"] = np.asarray(fs.dI)
     out["HdiF"] = np.asarray(fs.HdiF)
     for lvl_set, name in ((fs.frame_pyramids, "pyr"),):

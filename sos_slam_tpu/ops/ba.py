@@ -380,6 +380,101 @@ def linearize(ba: BAState, pre: Precalc, dI: jnp.ndarray,
     )
 
 
+def linearize_energy_col(ba: BAState, pre: Precalc, dI: jnp.ndarray,
+                         k: jnp.ndarray, settings: Settings,
+                         w: int, h: int, row: jnp.ndarray | None = None):
+    """Energy + residual-state of the single target-frame column `k` —
+    bitwise the k-column of `linearize(...)`'s (energy, new_state), at 1/F
+    of the gather cost. Used for the dying-frame dso_error sum inside
+    frame marginalization (FullSystemMarginalize.cpp:151-187), where a
+    full (P,F,8) linearization was ~F x wasted work.
+
+    `row` is the physical dI row holding slot k's image (defaults to k;
+    the fused chain defers dI compaction and passes its slot->row map).
+
+    Returns (energy (P,), new_state (P,) int8)."""
+    if row is None:
+        row = k
+    fx, fy, cx, cy = calib_real(ba)
+    F, P = ba.F, ba.P
+    H, W = dI.shape[1], dI.shape[2]
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    hostP = ba.host
+
+    R0 = pre.R0[hostP, k]        # (P,3,3)
+    t0 = pre.t0[hostP, k]        # (P,3)
+    Rc = pre.R[hostP, k]
+    tc = pre.t[hostP, k]
+    affLL = pre.affLL[hostP, k]  # (P,2)
+
+    # geometry at FEJ (center pixel, idepth_zero) — OOB gate
+    KliP = jnp.stack(
+        [(ba.u - cx) / fx, (ba.v - cy) / fy, jnp.ones_like(ba.u)], -1)
+    ptp = jnp.einsum("pij,pj->pi", R0, KliP, precision=HIGH) \
+        + t0 * ba.idepth_zero[:, None]
+    drescale = 1.0 / ptp[..., 2]
+    geo_ok = drescale > 0
+    u_ = ptp[..., 0] * drescale
+    v_ = ptp[..., 1] * drescale
+    Ku = u_ * fx + cx
+    Kv = v_ * fy + cy
+    geo_ok &= (Ku > 1.1) & (Kv > 1.1) & (Ku < w - 3) & (Kv < h - 3)
+
+    # pattern at current state
+    up = ba.u[:, None] + pat[None, :, 0]
+    vp = ba.v[:, None] + pat[None, :, 1]
+    KliPp = jnp.stack(
+        [(up - cx) / fx, (vp - cy) / fy, jnp.ones_like(up)], -1)  # (P,8,3)
+    ptp_c = (
+        jnp.einsum("pij,pkj->pki", Rc, KliPp, precision=HIGH)
+        + tc[:, None, :] * ba.idepth[:, None, None]
+    )  # (P,8,3)
+    z = ptp_c[..., 2]
+    pat_ok = z > 1e-6
+    Kup = ptp_c[..., 0] / z * fx + cx
+    Kvp = ptp_c[..., 1] / z * fy + cy
+    pat_ok &= (Kup > 1.1) & (Kvp > 1.1) & (Kup < w - 3) & (Kvp < h - 3)
+
+    # single-frame taps via the flat fused take (row offset k*H*W)
+    flat = dI.reshape(F * H * W, -1)
+    x0 = jnp.clip(jnp.floor(Kup), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(Kvp), 0, H - 2).astype(jnp.int32)
+    dx = jnp.clip(Kup - x0, 0.0, 1.0)[..., None]
+    dy = jnp.clip(Kvp - y0, 0.0, 1.0)[..., None]
+    idx = row.astype(jnp.int32) * (H * W) + y0 * W + x0
+    tl = jnp.take(flat, idx, axis=0)
+    tr = jnp.take(flat, idx + 1, axis=0)
+    bl = jnp.take(flat, idx + W, axis=0)
+    br = jnp.take(flat, idx + W + 1, axis=0)
+    hit = (tl * (1 - dx) * (1 - dy) + tr * dx * (1 - dy)
+           + bl * (1 - dx) * dy + br * dx * dy)      # (P,8,3)
+    hit_ok = jnp.isfinite(hit[..., 0])
+    ok = geo_ok[:, None] & pat_ok & hit_ok
+    oob = ~jnp.all(ok, -1)
+
+    r = hit[..., 0] - (affLL[..., 0:1] * ba.color + affLL[..., 1:2])
+    gx, gy = hit[..., 1], hit[..., 2]
+    wgrad = jnp.sqrt(
+        settings.outlier_th_sum_component
+        / (settings.outlier_th_sum_component + gx * gx + gy * gy))
+    wgt = 0.5 * (wgrad + ba.weight)
+    abs_r = jnp.abs(r)
+    hw = jnp.where(abs_r < settings.huber_th, 1.0,
+                   settings.huber_th / jnp.maximum(abs_r, 1e-9))
+    energy_raw = jnp.sum(wgt * wgt * hw * r * r * (2.0 - hw), -1)
+    hw2 = jnp.where(hw < 1.0, jnp.sqrt(hw), hw) * wgt
+    wJI2 = jnp.sum(hw2 * hw2 * (gx * gx + gy * gy), -1)
+
+    th = jnp.maximum(ba.energy_th[hostP], ba.energy_th[k])
+    outlier = (energy_raw > th) | (wJI2 < 2.0)
+    energy = jnp.where(outlier, th, energy_raw)
+    prev_oob = ba.res_state[:, k] == RES_OOB
+    new_state = jnp.where(
+        oob | prev_oob, RES_OOB, jnp.where(outlier, RES_OUTLIER, RES_IN)
+    ).astype(jnp.int8)
+    return energy, new_state
+
+
 def res_to_zero(ba: BAState, pre: Precalc, lin: LinData) -> jnp.ndarray:
     """FEJ shift: res_toZero = resF - J * delta (fixLinearizationF,
     EnergyFunctionalStructs.cpp:75-103). Returns (P,F,8)."""

@@ -69,17 +69,29 @@ def build_pyramid(
       (levels, abs_sq_grads): levels[l] is (H_l, W_l, 3) [I, dx, dy];
       abs_sq_grads[l] is (H_l, W_l).
     """
+    from sos_slam_tpu.ops import pallas_kernels as PK
+    use_pallas = PK.pallas_enabled()
+
     levels = []
     absgrads = []
     cur = image.astype(jnp.float32)
     for lvl in range(n_levels):
-        if lvl > 0:
-            cur = downsample2x(cur)
-        dx, dy = image_gradients(cur)
-        levels.append(jnp.stack([cur, dx, dy], axis=-1))
-        asg = dx * dx + dy * dy
+        if use_pallas:
+            # fused Pallas level: one VMEM pass for gradients + |grad|^2 +
+            # the next level (14x the XLA form on TPU — probe_pallas.py)
+            dI, asg, nxt = PK.fused_pyramid_level(cur)
+            levels.append(dI)
+            img_for_gamma = cur
+            cur = nxt
+        else:
+            if lvl > 0:
+                cur = downsample2x(cur)
+            dx, dy = image_gradients(cur)
+            levels.append(jnp.stack([cur, dx, dy], axis=-1))
+            asg = dx * dx + dy * dy
+            img_for_gamma = cur
         if gamma_grad is not None:
-            idx = jnp.clip(cur.astype(jnp.int32), 0, 255)
+            idx = jnp.clip(img_for_gamma.astype(jnp.int32), 0, 255)
             gw = gamma_grad[idx]
             asg = asg * gw * gw
         absgrads.append(asg)

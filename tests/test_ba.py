@@ -247,3 +247,20 @@ class TestMarginalization:
         ba5, stats = E.optimize(ba4, dI2, SETTINGS, W, H, max_its=4)
         assert not bool(stats["is_lost"])
         assert np.isfinite(float(stats["energy"]))
+
+
+class TestEnergyColumn:
+    def test_column_matches_full_linearize(self):
+        """linearize_energy_col must be bitwise the k-column of the full
+        linearization's (energy, new_state)."""
+        ba, dI, _, _ = build_window(n_frames=4, n_points=80,
+                                    pose_noise=0.01, idepth_noise=0.05)
+        pre = B.make_precalc(ba)
+        lin = B.linearize(ba, pre, dI, SETTINGS, W, H)
+        for k in range(4):
+            e_col, st_col = B.linearize_energy_col(
+                ba, pre, dI, jnp.int32(k), SETTINGS, W, H)
+            np.testing.assert_array_equal(np.asarray(e_col),
+                                          np.asarray(lin.energy[:, k]))
+            np.testing.assert_array_equal(np.asarray(st_col),
+                                          np.asarray(lin.new_state[:, k]))
