@@ -117,5 +117,83 @@ def main():
               s.max_opt_iterations, s.min_opt_iterations, s, w, h))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("SOS_PROFILE_STEP") != "1":
     main()
+
+
+def profile_step():
+    """Scan-chained decomposition of the per-frame step at 640x480."""
+    import time
+    W, H = 640, 480
+    n = 22
+    calib = synthetic.default_calib(W, H)
+    settings = default_settings()
+    twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])
+    imgs, _, _ = synthetic.make_sequence(calib, n, twist, plane_z=2.0)
+    imgs = jax.block_until_ready(imgs)
+    fs = FullSystem(calib, settings)
+    for i in range(n):
+        fs.add_active_frame(imgs[i], timestamp=i * 0.05, frame_id=i)
+    fs.finish_pending()
+    print(f"state ready: n_kf={fs.stats['n_kf']}", flush=True)
+
+    from sos_slam_tpu.ops import image as imops
+    from sos_slam_tpu.ops import tracker as TK
+    intr = tuple(calib.intrinsics(l) for l in range(fs.n_levels))
+    img0 = imgs[-1]
+    tmpl = fs.templates
+    N_REP = 10
+
+    def bench(name, fn):
+        @jax.jit
+        def run(x0, c0):
+            def body(c, _):
+                out = fn(x0 + c * 1e-9)
+                s = jnp.float32(0.0)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    if jnp.issubdtype(leaf.dtype, jnp.floating):
+                        s = s + jnp.sum(leaf).astype(jnp.float32)
+                return s * 1e-30 + c, None
+            c, _ = jax.lax.scan(body, c0, None, length=N_REP)
+            return c
+        jax.block_until_ready(run(img0, jnp.float32(0.0)))
+        t0 = time.time()
+        jax.block_until_ready(run(img0, jnp.float32(1e-6)))
+        print(f"{name:>28}: {(time.time()-t0)*1000/N_REP:7.2f} ms",
+              flush=True)
+
+    bench("build_pyramid (6 lvl)",
+          lambda im: imops.build_pyramid(im, fs.n_levels))
+
+    def track_only(im):
+        pyr, _ = imops.build_pyramid(im, fs.n_levels)
+        return TK.track_newest_coarse(
+            pyr, tmpl, jnp.eye(4), jnp.zeros(2),
+            jnp.asarray(fs.ref_aff, jnp.float32),
+            jnp.array([1.0, 1.0], jnp.float32),
+            jnp.full((6,), jnp.nan), intr, fs.n_levels)
+
+    bench("pyramid + 1-hyp track", track_only)
+
+    def track5(im):
+        pyr, _ = imops.build_pyramid(im, fs.n_levels)
+        Ts = jnp.stack([jnp.eye(4)] * 5)
+        return TK.track_hypotheses(pyr, tmpl, Ts, jnp.zeros(2),
+                                   jnp.asarray(fs.ref_aff, jnp.float32),
+                                   jnp.array([1.0, 1.0], jnp.float32),
+                                   intr, fs.n_levels)
+
+    bench("pyramid + 5-hyp track", track5)
+
+    def trace_only(im):
+        pyr, _ = imops.build_pyramid(im, fs.n_levels)
+        return fsm._trace_stats_jit(
+            fs.ba, fs.imm, pyr[0],
+            jnp.asarray(fs.shells[-1].cam_to_world, jnp.float32),
+            jnp.zeros(2), jnp.float32(1.0), fs.w, fs.h, settings)
+
+    bench("pyramid + trace + stats", trace_only)
+
+
+if __name__ == "__main__" and os.environ.get("SOS_PROFILE_STEP") == "1":
+    profile_step()

@@ -70,6 +70,8 @@ def main():
     print(f"KF     (n={len(kf)}): dispatch {med(kf, 2):.1f} ms, "
           f"fetch {med(kf, 3):.1f} ms, host {med(kf, 4):.1f} ms")
     print(f"=> KF chain exec ~= {med(kf, 3) - med(nk, 3):.1f} ms")
+    if fs.stats.get("ba_its"):
+        print("BA iterations per KF:", fs.stats["ba_its"])
 
 
 if __name__ == "__main__":

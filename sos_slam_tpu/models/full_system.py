@@ -598,6 +598,7 @@ class FullSystem:
         n_kf = len(self.kf_shell_ids)
 
         energy, rmse, n_its, n_active, is_lost = stats_t
+        self.stats.setdefault("ba_its", []).append(int(n_its))
         rmse = float(rmse)
         if bool(is_lost):
             self.is_lost = True
