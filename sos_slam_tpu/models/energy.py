@@ -38,12 +38,14 @@ def update_energy_th(ba: B.BAState, lin: B.LinData,
     """Adaptive outlier threshold for the newest frame (setNewFrameEnergyTH,
     FullSystemOptimize.cpp:84-124). Returns new energy_th (F,)."""
     newest = jnp.sum(ba.frame_valid) - 1
+    # only the newest frame's column is ever considered — slice it before
+    # sorting ((P,) instead of (P*F,), an 8x smaller sort on the hot path)
+    col = lambda a: jnp.take(a, newest, axis=1)
     considered = (
-        ba.res_exist & ba.pt_valid[:, None]
-        & (jnp.arange(ba.F)[None, :] == newest)
-        & (lin.new_state != B.RES_OOB)
+        col(ba.res_exist) & ba.pt_valid
+        & (col(lin.new_state) != B.RES_OOB)
     )
-    e = jnp.where(considered, lin.energy_raw, jnp.inf).reshape(-1)
+    e = jnp.where(considered, col(lin.energy_raw), jnp.inf)
     n = jnp.sum(considered)
     e_sorted = jnp.sort(e)
     nth = jnp.clip((settings.frame_energy_th_n * n).astype(jnp.int32), 0,

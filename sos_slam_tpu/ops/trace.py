@@ -450,7 +450,7 @@ def activate_points(
     energy = jnp.sum(jnp.where(live, e0, 0.0), -1)
 
     def gn_body(it, carry):
-        idp, Hdd, bd, energy, oob, lam = carry
+        idp, Hdd, bd, energy, oob, e_res, lam = carry
         step = bd / (Hdd * (1.0 + lam))
         new_idp = idp - step
         e1, H1, b1, oob1 = linearize_idepth(new_idp, oob)
@@ -469,18 +469,22 @@ def activate_points(
             jnp.where(accept, bN, bd),
             jnp.where(accept, eN, energy),
             jnp.where(accept[:, None], oob1, oob),
+            jnp.where(accept[:, None], e1, e_res),
             lam2,
         )
 
-    carry = (idepth0, Hdd, bd, energy, oob, jnp.full((N,), 0.1))
+    carry = (idepth0, Hdd, bd, energy, oob, e0, jnp.full((N,), 0.1))
     # unrolled (see trace GN note): static small iteration count
     for _it in range(settings.gn_its_on_point_activation):
         carry = gn_body(_it, carry)
-    idepth, Hdd, bd, energy, oob, _ = carry
+    idepth, Hdd, bd, energy, oob, e_res, _ = carry
 
-    # final residual states: IN if not OOB and below energy_th
-    eF, HF, bF, oobF = linearize_idepth(idepth, oob)
-    res_in = ~oobF & (eF <= imm.energy_th[:, None]) & res_ok0
+    # final residual states: IN if not OOB and below energy_th. The carry
+    # already holds the per-residual energies and OOB mask linearized AT the
+    # accepted idepth (linearize_idepth's e/oob depend only on the idepth and
+    # the OR-folded oob input), so a 5th full (N,F,8)-tap gather pass is
+    # redundant — e_res/oob ARE eF/oobF.
+    res_in = ~oob & (e_res <= imm.energy_th[:, None]) & res_ok0
     n_good = jnp.sum(res_in, -1)
 
     ok = (
