@@ -14,6 +14,10 @@ from sos_slam_tpu.models.full_system import FullSystem
 from sos_slam_tpu.utils import synthetic
 from sos_slam_tpu.utils.config import default_settings
 
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
+
 REF = "/root/reference/tests"
 
 

@@ -1,8 +1,13 @@
 """Evaluation utility tests."""
 
+import pytest
 import numpy as np
 
 from sos_slam_tpu.utils.evaluate import associate_by_time, ate_rmse, umeyama
+
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
 
 
 def test_umeyama_exact():

@@ -1,5 +1,6 @@
 """Tests for pyramid/gradient/interpolation and pixel selection."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,10 @@ from sos_slam_tpu.ops import selector
 from sos_slam_tpu.utils import synthetic
 from sos_slam_tpu.utils.camera import make_calib_pyramid, num_pyramid_levels
 from sos_slam_tpu.utils.config import default_settings
+
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
 
 KEY = jax.random.PRNGKey(0)
 

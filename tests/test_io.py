@@ -9,6 +9,10 @@ import pytest
 
 from sos_slam_tpu.io import undistort as UD
 
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
+
 REF = "/root/reference/tests"
 
 

@@ -7,6 +7,10 @@ import pytest
 
 from sos_slam_tpu.io.launch import load_launch
 
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
+
 REF = "/root/reference/tests"
 
 

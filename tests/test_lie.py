@@ -7,6 +7,10 @@ import pytest
 
 from sos_slam_tpu.utils import lie
 
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
+
 KEY = jax.random.PRNGKey(0)
 
 

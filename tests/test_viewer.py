@@ -9,6 +9,10 @@ from sos_slam_tpu.models.full_system import FullSystem
 from sos_slam_tpu.utils import synthetic
 from sos_slam_tpu.utils.config import default_settings
 
+# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
+pytestmark = pytest.mark.smoke
+
+
 
 class _Shell:
     def __init__(self, i, T):
