@@ -23,13 +23,16 @@ def main(argv=None):
     p.add_argument("--package-root", default=None,
                    help="resolves $(find sos_slam) in the launch file")
     p.add_argument("--dataset", required=True, help="dataset directory")
-    p.add_argument("--format", choices=["euroc", "kitti"], default="euroc")
+    p.add_argument("--format",
+                   choices=["euroc", "kitti", "malaga", "robotcar"],
+                   default="euroc")
     p.add_argument("--output", default="poses.txt")
     p.add_argument("--start-frame", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=None)
     args = p.parse_args(argv)
 
-    from sos_slam_tpu.io.datasets import EurocReader, KittiReader
+    from sos_slam_tpu.io.datasets import (EurocReader, KittiReader,
+                                          MalagaReader, RobotCarReader)
     from sos_slam_tpu.io.launch import load_launch
     from sos_slam_tpu.io.node import SlamNode
 
@@ -47,9 +50,15 @@ def main(argv=None):
     if args.format == "euroc":
         reader = EurocReader(args.dataset, stereo=s.enable_scale_opt,
                              use_imu=s.enable_imu, start=start)
-    else:
+    elif args.format == "kitti":
         reader = KittiReader(args.dataset, stereo=s.enable_scale_opt,
                              start=start)
+    elif args.format == "malaga":
+        reader = MalagaReader(args.dataset, stereo=s.enable_scale_opt,
+                              start=start)
+    else:  # robotcar (reference tests/RobotCar/robotcar.launch, preset 2)
+        reader = RobotCarReader(args.dataset, stereo=s.enable_scale_opt,
+                                start=start)
 
     t0 = time.time()
     n = node.run(reader, max_frames=args.max_frames)

@@ -76,6 +76,16 @@ class EurocReader:
                 if self.imu[imu_i][0] > t_prev:
                     samples.append(self.imu[imu_i])
                 imu_i += 1
+            # boundary interpolation (SlamNode.cpp:152-159): synthesize a
+            # sample at exactly the image timestamp from the straddling pair;
+            # the sample after the image stays queued for the next frame
+            if samples and imu_i < len(self.imu):
+                t0, a0, g0 = samples[-1]
+                t1, a1, g1 = self.imu[imu_i]
+                if t0 < t < t1:
+                    w = (t - t0) / (t1 - t0)
+                    samples.append((t, (1 - w) * np.asarray(a0) + w * np.asarray(a1),
+                                    (1 - w) * np.asarray(g0) + w * np.asarray(g1)))
             rec = dict(t=t, image=_read_image(path), imu=samples,
                        image_right=None)
             if self.stereo:

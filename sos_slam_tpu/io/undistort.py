@@ -179,6 +179,72 @@ def make_optimal_K_crop(model, pars, w_org, h_org, w, h) -> np.ndarray:
     return K_out
 
 
+def make_optimal_K_full(model, pars, w_org, h_org, w, h) -> np.ndarray:
+    """The 'full' output calibration.
+
+    The reference leaves this mode unimplemented (makeOptimalK_full,
+    Undistort.cpp:674-677 is `assert(false)`) although the parser accepts
+    the `full` keyword (Undistort.cpp:773-775). We implement the documented
+    DSO intent instead of aborting: choose the output calibration so the
+    rectified image covers the FULL field of view of the input — i.e. the
+    bounding box, in normalized camera coordinates, of the undistorted
+    positions of every input border pixel.
+
+    The distortion functions map output-normalized -> input pixels; they are
+    inverted per border pixel by damped Newton with finite-difference
+    Jacobians (smooth, low-distortion neighbourhood, converges in <20 its).
+    """
+    fn = _distort_fn(model)
+    K = np.eye(3)
+
+    # border pixels of the ORIGINAL image
+    xs = np.arange(w_org, dtype=np.float64)
+    ys = np.arange(h_org, dtype=np.float64)
+    bx = np.concatenate([xs, xs, np.zeros(h_org), np.full(h_org, w_org - 1.0)])
+    by = np.concatenate([np.zeros(w_org), np.full(w_org, h_org - 1.0), ys, ys])
+
+    # initial guess: pinhole inverse with the original calib
+    fx, fy, cx, cy = pars[:4]
+    ix = (bx - cx) / fx
+    iy = (by - cy) / fy
+
+    eps = 1e-7
+    for _ in range(25):
+        px, py = fn((ix, iy), pars, K)
+        rx, ry = px - bx, py - by
+        # finite-difference Jacobian of (px,py) wrt (ix,iy)
+        pxx, pyx = fn((ix + eps, iy), pars, K)
+        pxy, pyy = fn((ix, iy + eps), pars, K)
+        j00 = (pxx - px) / eps
+        j10 = (pyx - py) / eps
+        j01 = (pxy - px) / eps
+        j11 = (pyy - py) / eps
+        det = j00 * j11 - j01 * j10
+        det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+        dix = (j11 * rx - j01 * ry) / det
+        diy = (-j10 * rx + j00 * ry) / det
+        step = np.clip(np.sqrt(dix * dix + diy * diy), 0.0, None)
+        damp = np.where(step > 0.5, 0.5 / np.maximum(step, 1e-12), 1.0)
+        ix = ix - dix * damp
+        iy = iy - diy * damp
+
+    # keep points whose round trip actually converged
+    px, py = fn((ix, iy), pars, K)
+    ok = (np.abs(px - bx) < 0.01) & (np.abs(py - by) < 0.01)
+    ix, iy = ix[ok], iy[ok]
+    if ix.size == 0:
+        raise ValueError("full-mode inversion failed for every border pixel")
+    minX, maxX = ix.min(), ix.max()
+    minY, maxY = iy.min(), iy.max()
+
+    K_out = np.eye(3)
+    K_out[0, 0] = (w - 1.0) / (maxX - minX)
+    K_out[1, 1] = (h - 1.0) / (maxY - minY)
+    K_out[0, 2] = -minX * K_out[0, 0]
+    K_out[1, 2] = -minY * K_out[1, 1]
+    return K_out
+
+
 def load_undistorter(calib_file: str) -> Undistorter:
     """Parse the reference's camera.txt (Undistort::getUndistorterForFile +
     readFromFile, Undistort.cpp:240-360,679-860)."""
@@ -213,6 +279,8 @@ def load_undistorter(calib_file: str) -> Undistorter:
 
     if out_mode[0] == "crop":
         K = make_optimal_K_crop(model, pars, w_org, h_org, w, h)
+    elif out_mode[0] == "full":
+        K = make_optimal_K_full(model, pars, w_org, h_org, w, h)
     elif out_mode[0] == "none":
         K = np.eye(3)
         K[0, 0], K[1, 1], K[0, 2], K[1, 2] = pars[:4]

@@ -26,3 +26,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compile_state():
+    """Keep per-worker XLA:CPU compiler state bounded.
+
+    A single long-lived xdist worker accumulates enough compiler state over
+    ~100 tests to segfault inside backend_compile (deterministic at -n 4 on
+    the VIO modules when they run after a long prefix). Dropping JAX's
+    in-memory executable caches at every module teardown keeps each process
+    under the threshold; the persistent on-disk compilation cache
+    (sos_slam_tpu/__init__.py) makes any re-warm a cheap load instead of a
+    recompile."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -79,6 +79,38 @@ class TestReferenceCalibs:
         # vignette correction brightens the corners relative to center
         assert out[0, 0] >= out[256, 256] - 1e-3
 
+    def test_full_output_mode(self, tmp_path):
+        """'full' output calibration (Undistort.cpp:674,773-775): the output
+        covers the whole input FOV — wider than crop, and every input border
+        pixel's undistorted position lands inside the output frame."""
+        with open(f"{REF}/EuRoC/camera0.txt") as f:
+            lines = f.read().splitlines()
+        lines[2] = "full"
+        calib = tmp_path / "camera_full.txt"
+        calib.write_text("\n".join(lines) + "\n")
+        und_full = UD.load_undistorter(str(calib))
+        und_crop = UD.load_undistorter(f"{REF}/EuRoC/camera0.txt")
+        # full keeps MORE field of view -> smaller focal length than crop
+        assert und_full.K[0, 0] < und_crop.K[0, 0]
+        assert und_full.K[1, 1] < und_crop.K[1, 1]
+        # full mode admits out-of-input regions (masked invalid), crop ~none
+        assert und_full.remap_valid.mean() < und_crop.remap_valid.mean()
+        # every input border pixel maps inside the output frame: invert the
+        # distortion for a few border pixels and apply the full-mode K
+        fn = UD._distort_fn(und_full.model)
+        bx = np.array([0.0, und_full.w_org - 1.0, 0.0, und_full.w_org - 1.0])
+        by = np.array([0.0, 0.0, und_full.h_org - 1.0, und_full.h_org - 1.0])
+        fx, fy, cx, cy = und_full.pars[:4]
+        ix, iy = (bx - cx) / fx, (by - cy) / fy
+        for _ in range(50):
+            px, py = fn((ix, iy), und_full.pars, np.eye(3))
+            ix -= (px - bx) / fx
+            iy -= (py - by) / fy
+        ox = und_full.K[0, 0] * ix + und_full.K[0, 2]
+        oy = und_full.K[1, 1] * iy + und_full.K[1, 2]
+        assert np.all(ox >= -1.0) and np.all(ox <= und_full.w)
+        assert np.all(oy >= -1.0) and np.all(oy <= und_full.h)
+
     def test_undistort_roundtrip(self):
         """Undistorting a smooth synthetic image keeps values in range and
         fills the valid region."""

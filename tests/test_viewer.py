@@ -9,8 +9,8 @@ from sos_slam_tpu.models.full_system import FullSystem
 from sos_slam_tpu.utils import synthetic
 from sos_slam_tpu.utils.config import default_settings
 
-# fast, pure-host subset: run with pytest -m smoke (seconds, no big jits)
-pytestmark = pytest.mark.smoke
+# only the pure-host accumulate/render test is smoke; the real-pipeline
+# test runs a 24-frame FullSystem with big jits (ADVICE r2)
 
 
 
@@ -22,6 +22,7 @@ class _Shell:
         self.scale = 1.0
 
 
+@pytest.mark.smoke
 def test_viewer_accumulates_and_renders(tmp_path):
     v = MapViewer(out_dir=str(tmp_path), size=128)
     rng = np.random.default_rng(0)
