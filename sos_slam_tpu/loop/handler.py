@@ -146,6 +146,12 @@ class LoopHandler:
 
         pts_uvdi = rec.get("pts_uvdi")
         if pts_uvdi is None or len(pts_uvdi) == 0:
+            # keep the ringkey index aligned with kf_id: every KF that
+            # reaches the loop stage must insert exactly one key (a far
+            # sentinel for empty scans), else candidate indices from
+            # search_and_insert would point at the wrong frames
+            self.ringkeys.search_and_insert(
+                np.full(SC.NUM_R, 1e9, np.float64))
             return
         fx, fy, cx, cy = self.intrinsics[0]
         d = np.maximum(pts_uvdi[:, 2], 1e-6)
