@@ -141,6 +141,12 @@ def main():
     if ok and fps > 0 and os.environ.get("SOS_BENCH_SKIP_FULL") != "1":
         full_fps, full_kf = _bench_full_config(W, H, verbose)
 
+    # device-efficiency accounting: RPC dispatch floor, per-frame device
+    # time, and roofline utilization (MFU + HBM bandwidth) of the fused
+    # per-frame program — tells the next perf round whether to attack
+    # kernels, bandwidth, or dispatch
+    util = _utilization_report(fs, fps) if ok and fps > 0 else {}
+
     print(json.dumps({
         "metric": "tracked_fps_synthetic_640x480_full_pipeline",
         "value": round(fps, 3),
@@ -157,8 +163,66 @@ def main():
             "fps_full_config": round(full_fps, 3),
             "n_kf_full_config": full_kf,
             "platform": jax.devices()[0].platform,
+            **util,
         },
     }))
+
+
+# TPU v5e (lite) single-chip peaks; used for roofline ratios only.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _utilization_report(fs, fps):
+    """MFU / bandwidth / dispatch accounting of the steady per-frame path.
+
+    - rpc_floor_ms: round trip of a trivial dispatch+fetch (the tunnel/PJRT
+      floor every synchronous exchange pays).
+    - device_ms_per_frame: wall per frame minus the readback round trip —
+      with the depth-2 pipeline the fetch wait IS device execution
+      (docs/PERF_NOTES.md round-2), so this is the execution share.
+    - flops/bytes per frame from the compiled fused program's own cost
+      analysis; mfu vs bf16 peak (kernels are f32, so this is a lower
+      bound), hbm utilization vs 819 GB/s.
+    """
+    from sos_slam_tpu.utils.hostio import fetch
+    import sos_slam_tpu.models.full_system as fsm
+
+    out = {}
+    try:
+        tiny = jax.jit(lambda x: x * 1.0000001 + 1.0)
+        x = jnp.float32(1.0)
+        x = fetch(tiny(x))   # compile + warm
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            x = fetch(tiny(jnp.float32(x)))
+        out["rpc_floor_ms"] = round((time.time() - t0) / reps * 1000.0, 2)
+    except Exception:
+        return out
+
+    wall_ms = 1000.0 / fps
+    out["device_ms_per_frame"] = round(wall_ms - out["rpc_floor_ms"], 2)
+
+    try:
+        kind, args, kw = fs._last_dispatch
+        fn = fsm._fused_frame_vio_jit if kind == "vio" \
+            else fsm._fused_frame_mono_jit
+        ca = fn.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, list):   # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        dev_s = max(out["device_ms_per_frame"], 1e-3) / 1000.0
+        out["gflops_per_frame"] = round(flops / 1e9, 2)
+        out["mfu_est"] = round(flops / dev_s / (V5E_PEAK_BF16_TFLOPS
+                                                * 1e12), 5)
+        out["hbm_gbps_est"] = round(bytes_acc / dev_s / 1e9, 1)
+        out["hbm_util_est"] = round(bytes_acc / dev_s / 1e9
+                                    / V5E_PEAK_HBM_GBPS, 4)
+    except Exception as e:   # cost analysis unsupported on some backends
+        out["cost_analysis_error"] = type(e).__name__
+    return out
 
 
 def _bench_full_config(W, H, verbose):

@@ -198,6 +198,7 @@ class FullSystem:
         self._stats_dev = None
         self.pc_l0 = None
         self._last_bg = None         # host-cached gyro bias (fused VIO)
+        self._last_dispatch = None   # (kind, args, kwargs) for bench MFU
         self._prior_row_cache = None
         # fused per-frame dispatch with the device-side KF decision
         # (default on for mono vision; see _fused_kf_active)
@@ -469,9 +470,7 @@ class FullSystem:
                 t_prev_frame = self.shells[shell.shell_idx - 1].timestamp
             else:
                 t_prev_frame = shell.timestamp - 1.0
-            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
-                _fused_frame_vio_jit(
-                    jnp.asarray(image, jnp.float32), ba_in, imu_in, imm_in,
+            args = (jnp.asarray(image, jnp.float32), ba_in, imu_in, imm_in,
                     dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
                     ref_aff, ref_exp, jnp.float32(exposure), th,
                     first_rmse_in,
@@ -485,12 +484,13 @@ class FullSystem:
                     img_right, have_right, T_lr_j, scale_state,
                     s.max_opt_iterations, s.min_opt_iterations,
                     self.tmpl_sizes, pot,
-                    n_slots, s, self.w, self.h, self.n_levels, intr,
-                    stereo=stereo_static)
-        else:
+                    n_slots, s, self.w, self.h, self.n_levels, intr)
+            # args kept for post-run cost analysis (bench MFU accounting)
+            self._last_dispatch = ("vio", args, dict(stereo=stereo_static))
             pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
-                _fused_frame_mono_jit(
-                    jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
+                _fused_frame_vio_jit(*args, stereo=stereo_static)
+        else:
+            args = (jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
                     templates_in, T_primary, T_hyps, T_ref, aff0_j,
                     ref_aff, ref_exp, jnp.float32(exposure), th,
                     first_rmse_in,
@@ -500,8 +500,10 @@ class FullSystem:
                     img_right, have_right, T_lr_j, scale_state,
                     s.max_opt_iterations, s.min_opt_iterations,
                     self.tmpl_sizes, pot,
-                    n_slots, s, self.w, self.h, self.n_levels, intr,
-                    stereo=stereo_static)
+                    n_slots, s, self.w, self.h, self.n_levels, intr)
+            self._last_dispatch = ("mono", args, dict(stereo=stereo_static))
+            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
+                _fused_frame_mono_jit(*args, stereo=stereo_static)
         fetch_tree = (fvec, ivec)
         prefetch(fetch_tree)
         return dict(shell=shell, exposure=exposure, image=image, pyr=pyr,

@@ -159,21 +159,26 @@ def select(
     # reference border exclusion: xf<4 || xf>=w-5 || yf<4 || yf>h-4
     border = ((xi >= 4) & (xi < w - 5))[None, :] & ((yi >= 4) & (yi <= h - 4))[:, None]
 
-    # per-pixel thresholds from the 32-blocks
-    th0 = ths_smoothed[jnp.minimum(yi[:, None] >> 5, ths_smoothed.shape[0] - 1),
-                       jnp.minimum(xi[None, :] >> 5, ths_smoothed.shape[1] - 1)]
+    # per-pixel thresholds from the 32-blocks. NEVER use advanced-indexing
+    # gathers for these regular upsamplings: XLA lowers a (H,W) outer-
+    # product gather catastrophically on TPU (the three gathers here were
+    # 13 of the selector's 13.4 ms); block/2x/4x replication is an exact
+    # repeat (+edge clamp for the partial last block).
+    def _upsample(a, fac):
+        r = jnp.repeat(jnp.repeat(a, fac, 0), fac, 1)
+        if r.shape[0] < h or r.shape[1] < w:   # clamp-to-last-block tail
+            r = jnp.pad(r, ((0, max(h - r.shape[0], 0)),
+                            (0, max(w - r.shape[1], 0))), mode="edge")
+        return r[:h, :w]
+
+    th0 = _upsample(ths_smoothed, 32)
     dw1 = down_weight
     dw2 = dw1 * dw1
 
-    # eligibility per tier (sampled absgrads at coarser levels, nearest)
-    x1 = (xi.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
-    y1 = (yi.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
-    x2 = (xi.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
-    y2 = (yi.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
-    ag1 = absgrad1[jnp.clip(y1, 0, absgrad1.shape[0] - 1)[:, None],
-                   jnp.clip(x1, 0, absgrad1.shape[1] - 1)[None, :]]
-    ag2 = absgrad2[jnp.clip(y2, 0, absgrad2.shape[0] - 1)[:, None],
-                   jnp.clip(x2, 0, absgrad2.shape[1] - 1)[None, :]]
+    # eligibility per tier: the reference's nearest sampling of the coarser
+    # absgrads at (x*0.5+0.25, ...) is exactly floor(x/2) / floor(x/4)
+    ag1 = _upsample(absgrad1, 2)
+    ag2 = _upsample(absgrad2, 4)
 
     elig0 = (absgrad0 > th0 * th_factor) & border
     elig1 = (ag1 > th0 * dw1 * th_factor) & border
