@@ -178,9 +178,13 @@ def _utilization_report(fs, fps):
 
     - rpc_floor_ms: round trip of a trivial dispatch+fetch (the tunnel/PJRT
       floor every synchronous exchange pays).
-    - device_ms_per_frame: wall per frame minus the readback round trip —
-      with the depth-2 pipeline the fetch wait IS device execution
-      (docs/PERF_NOTES.md round-2), so this is the execution share.
+    - device_ms_per_frame: measured directly by re-dispatching the steady
+      per-frame fused program back-to-back (async dispatches serialize on
+      the device execution queue; one block at the end) — NOT wall minus
+      RPC floor, which collapses to ~0 whenever the pipeline fully overlaps
+      the fetch and made the round-2 ratios meaningless.
+    - host_ms_per_frame: wall minus device execution — dispatch/bookkeeping
+      + the un-overlapped share of the readback.
     - flops/bytes per frame from the compiled fused program's own cost
       analysis; mfu vs bf16 peak (kernels are f32, so this is a lower
       bound), hbm utilization vs 819 GB/s.
@@ -202,24 +206,36 @@ def _utilization_report(fs, fps):
         return out
 
     wall_ms = 1000.0 / fps
-    out["device_ms_per_frame"] = round(wall_ms - out["rpc_floor_ms"], 2)
-
     try:
         kind, args, kw = fs._last_dispatch
         fn = fsm._fused_frame_vio_jit if kind == "vio" \
             else fsm._fused_frame_mono_jit
+        r = fn(*args, **kw)        # warm (already compiled in the run)
+        jax.block_until_ready(r)
+        reps = 20
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(*args, **kw)
+        jax.block_until_ready(r)
+        dev_ms = (time.time() - t0) / reps * 1000.0
+        out["device_ms_per_frame"] = round(dev_ms, 2)
+        out["host_ms_per_frame"] = round(max(wall_ms - dev_ms, 0.0), 2)
+
         ca = fn.lower(*args, **kw).compile().cost_analysis()
         if isinstance(ca, list):   # older jax returns [dict]
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         bytes_acc = float(ca.get("bytes accessed", 0.0))
-        dev_s = max(out["device_ms_per_frame"], 1e-3) / 1000.0
+        dev_s = max(dev_ms, 1e-3) / 1000.0
         out["gflops_per_frame"] = round(flops / 1e9, 2)
         out["mfu_est"] = round(flops / dev_s / (V5E_PEAK_BF16_TFLOPS
                                                 * 1e12), 5)
-        out["hbm_gbps_est"] = round(bytes_acc / dev_s / 1e9, 1)
-        out["hbm_util_est"] = round(bytes_acc / dev_s / 1e9
-                                    / V5E_PEAK_HBM_GBPS, 4)
+        # cost-analysis "bytes accessed" counts every operand access
+        # (including VMEM-resident reuse), so this is an upper bound on
+        # HBM traffic, not a bandwidth measurement
+        out["ca_bytes_per_frame_gb"] = round(bytes_acc / 1e9, 2)
+        out["hbm_util_upper_bound"] = round(bytes_acc / dev_s / 1e9
+                                            / V5E_PEAK_HBM_GBPS, 4)
     except Exception as e:   # cost analysis unsupported on some backends
         out["cost_analysis_error"] = type(e).__name__
     return out

@@ -32,7 +32,7 @@ from sos_slam_tpu.ops.image import build_pyramid, interp_bilinear
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.camera import CalibPyramid
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
-from sos_slam_tpu.utils.hostio import fetch, prefetch
+from sos_slam_tpu.utils.hostio import fetch, fetch_future, prefetch
 
 
 @dataclasses.dataclass
@@ -485,8 +485,11 @@ class FullSystem:
                     s.max_opt_iterations, s.min_opt_iterations,
                     self.tmpl_sizes, pot,
                     n_slots, s, self.w, self.h, self.n_levels, intr)
-            # args kept for post-run cost analysis (bench MFU accounting)
-            self._last_dispatch = ("vio", args, dict(stereo=stereo_static))
+            # args kept for post-run cost analysis (bench MFU accounting);
+            # promoted to _last_dispatch only when the frame completes as a
+            # non-keyframe, so the re-dispatch measurement times the steady
+            # per-frame branch, not the cond-gated KF chain
+            dispatch_rec = ("vio", args, dict(stereo=stereo_static))
             pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
                 _fused_frame_vio_jit(*args, stereo=stereo_static)
         else:
@@ -501,14 +504,20 @@ class FullSystem:
                     s.max_opt_iterations, s.min_opt_iterations,
                     self.tmpl_sizes, pot,
                     n_slots, s, self.w, self.h, self.n_levels, intr)
-            self._last_dispatch = ("mono", args, dict(stereo=stereo_static))
+            dispatch_rec = ("mono", args, dict(stereo=stereo_static))
             pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
                 _fused_frame_mono_jit(*args, stereo=stereo_static)
         fetch_tree = (fvec, ivec)
-        prefetch(fetch_tree)
+        # blocking readback starts NOW on the IO thread; _complete_fused
+        # joins the future two frames later, by which time the RPC round
+        # trip (~30 ms on the tunnel even for settled arrays) has overlapped
+        # with the next frames' dispatch + host work
+        fetch_fut = fetch_future(fetch_tree)
         return dict(shell=shell, exposure=exposure, image=image, pyr=pyr,
                     need_kf_j=need_kf_j, state=state_o, nxt=nxt_o,
-                    raw_spec=raw, fetch_tree=fetch_tree, pot=pot,
+                    raw_spec=raw, fetch_tree=fetch_tree,
+                    fetch_fut=fetch_fut, pot=pot,
+                    dispatch_rec=dispatch_rec,
                     vio=s.enable_imu,
                     stereo_right=((img_right, have_right)
                                   if stereo_static is not None else None))
@@ -520,7 +529,9 @@ class FullSystem:
         shell, exposure = p["shell"], p["exposure"]
         vio = p.get("vio", False)
         with self.telemetry.timed("fused_fetch"):
-            fvec, ivec = fetch(p["fetch_tree"])
+            fut = p.get("fetch_fut")
+            fvec, ivec = fut.result() if fut is not None \
+                else fetch(p["fetch_tree"])
         unpacked = _unpack_fetch(fvec, ivec, p["raw_spec"])
         if vio:
             (need_kf, out, accept_np, T_cw_new,
@@ -558,6 +569,8 @@ class FullSystem:
             return True
         traced = bool(accept_np)
         need_kf = bool(need_kf)
+        if not need_kf and "dispatch_rec" in p:
+            self._last_dispatch = p["dispatch_rec"]
         self._last_frame_was_kf = need_kf
         self.telemetry.count("keyframes" if need_kf else "frames")
         for ow in self.output_wrappers:
@@ -959,13 +972,14 @@ class FullSystem:
                 achieve_th,
                 self.settings, self.w, self.h, self.n_levels, intr)
         fetch_tree = (out_j, accept_j, T_cw_new_j, (*stats, self.ba.exposure))
-        # start the device->host copies NOW: by the time the (possibly
-        # next-frame) fetch happens, the transfers rode the execution
-        prefetch(fetch_tree)
+        # start the blocking readback NOW on the IO thread: by the time the
+        # (possibly next-frame) consumption happens, the RPC round trip has
+        # overlapped with dispatch + host work
+        fetch_fut = fetch_future(fetch_tree)
         return dict(shell=shell, exposure=exposure, pyr=pyr, out_j=out_j,
                     imm_new=imm_new, accept_j=accept_j,
                     T_cw_new_j=T_cw_new_j, stats_dev=stats,
-                    fetch_tree=fetch_tree)
+                    fetch_tree=fetch_tree, fetch_fut=fetch_fut)
 
     def _process_frame_step(self, p):
         """Consume a pending classic frame-step record: fetch, run the
@@ -974,7 +988,9 @@ class FullSystem:
         # keep the device-resident stats so a keyframe can dispatch its
         # whole chain (flags included) without another readback
         self._stats_dev = p["stats_dev"]
-        out, accept_np, T_cw_new, stats = fetch(p["fetch_tree"])
+        fut = p.get("fetch_fut")
+        out, accept_np, T_cw_new, stats = fut.result() if fut is not None \
+            else fetch(p["fetch_tree"])
         traced = bool(accept_np)
         if traced:
             self.imm = p["imm_new"]

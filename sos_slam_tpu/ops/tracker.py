@@ -234,12 +234,19 @@ def track_level(
         sat = r["num_sat"] / jnp.maximum(r["num_in"], 1)
         return rep, sat
 
-    r0 = res_pass(T0, aff0, jnp.asarray(coarse_cutoff_th))
+    r0 = res_pass(T0, aff0, jnp.asarray(coarse_cutoff_th), flow=True)
     sat0 = r0["num_sat"] / jnp.maximum(r0["num_in"], 1)
     cutoff_repeat, _ = jax.lax.while_loop(cutoff_cond, cutoff_body,
                                           (jnp.float32(1.0), sat0))
     cutoff = coarse_cutoff_th * cutoff_repeat
-    r0 = res_pass(T0, aff0, cutoff, flow=True)
+    # cutoff == coarse_cutoff_th (the common case: no doubling) makes the
+    # re-pass bitwise identical to r0 — skip it behind a cond (an identity
+    # cond branch is ~free; a second full warp+reduce pass per level isn't)
+    r0 = jax.lax.cond(
+        cutoff_repeat > 1.0,
+        lambda: res_pass(T0, aff0, cutoff, flow=True),
+        lambda: r0,
+    )
 
     # LM loop state: (it, T, aff, E, num, H, b, lam, done). The while body
     # runs LM_CHUNK iterations per trip (frozen once done/over-budget):

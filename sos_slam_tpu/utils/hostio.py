@@ -17,9 +17,11 @@ Use `fetch` for every readback cluster; never call `np.asarray` /
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 import jax
 
-__all__ = ["fetch", "prefetch"]
+__all__ = ["fetch", "prefetch", "fetch_future"]
 
 
 def prefetch(tree) -> None:
@@ -40,3 +42,30 @@ def fetch(tree):
     """device_get with all leaf transfers started asynchronously first."""
     prefetch(tree)
     return jax.device_get(tree)
+
+
+# One IO thread is enough: fetches are RPC-latency-bound, not CPU-bound,
+# and a single worker preserves fetch ordering (FIFO) for free.
+_fetch_pool: ThreadPoolExecutor | None = None
+
+
+def fetch_future(tree) -> Future:
+    """Start a `fetch` on a background IO thread and return its Future.
+
+    On the tunneled backend even a prefetched, long-settled readback pays a
+    full RPC round trip (~25-30 ms measured) when `device_get` is called
+    synchronously — `copy_to_host_async` alone does not deliver the bytes
+    to the host. Issuing the blocking `device_get` from a side thread right
+    after dispatch overlaps that round trip with the next frames' host
+    work; by the time the pipeline consumes the result (two frames later)
+    the RPC has long completed and `.result()` returns immediately.
+
+    The worker only *reads* settled device arrays, so it is safe alongside
+    the main thread's dispatches (PJRT clients are thread-safe for
+    concurrent execute + transfer)."""
+    global _fetch_pool
+    if _fetch_pool is None:
+        _fetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="sos-fetch")
+    prefetch(tree)
+    return _fetch_pool.submit(jax.device_get, tree)
