@@ -574,6 +574,78 @@ def accumulate_top(ba: BAState, pre: Precalc, lin: LinData,
     return H, b
 
 
+def accumulate_top_kr(ba: BAState, pre: Precalc, lin: LinData,
+                      resApprox: jnp.ndarray | None = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """accumulate_top in khatri-rao/matmul form — same contract, same
+    algebra, different summation shape.
+
+    The factored einsum chain materializes (P,F,10,10) blocks from
+    tiny batched 2-contractions (G_gg = X^T JIdx2 X per residual pair),
+    which the TPU executes on the VPU with heavily padded minor dims.
+    This form instead builds per-(pattern-pixel) 13-rows
+    Y = [X^T JI (10) | Jab (2) | r (1)] and reduces the (h,t) cells with
+    ONE contraction over the (point, pattern) row axis:
+        acc[h,t] = sum_rows onehot_h(row) * Y_i Y_j
+    i.e. a (13 x N)(N x F*13) matmul per target — MXU-shaped where the
+    contraction is over N = P*8 rows. Algebraically identical to
+    AccumulatedTopHessian addPoint/stitch (summation order differs ->
+    f32 rounding differs at ~1e-6 relative).
+    """
+    F, P = ba.F, ba.P
+    D = CPARS + 8 * F
+    if resApprox is None:
+        resApprox = lin.resF
+
+    # per-row 13-vector: [c(4), xi(6), ab(2), r(1)]
+    q = jnp.einsum("pfak,pfai->pfki", lin.JIdx, lin.X, precision=HIGH)
+    ab = jnp.swapaxes(lin.JabF, -1, -2)                  # (P,F,8,2)
+    Y = jnp.concatenate([q, ab, resApprox[..., None]], -1)  # (P,F,8,13)
+
+    onehot = jax.nn.one_hot(ba.host, F, dtype=jnp.float32)  # (P,Fh)
+    # khatri-rao over the host axis; XLA fuses the broadcast-multiply
+    # into the matmul operand (no (P,F,8,Fh,13) materialization).
+    U = onehot[:, None, None, :, None] * Y[:, :, :, None, :]
+    acc = jnp.einsum("pfki,pfkhj->hfij", Y, U, precision=HIGH)  # (Fh,Ft,13,13)
+
+    accH = acc[..., :12, :12]
+    accb = acc[..., :12, 12]
+
+    # stitch — identical to accumulate_top
+    Hcc = accH[..., :4, :4].sum((0, 1))
+    Gfc = accH[..., 4:, :4]                     # (F,F,8,4)
+    Gff = accH[..., 4:, 4:]                     # (F,F,8,8)
+    bc = accb[..., :4].sum((0, 1))
+    bf_rel = accb[..., 4:]                      # (F,F,8)
+
+    AH, AT = pre.adHost, pre.adTarget
+    Hff = jnp.zeros((F, 8, F, 8), jnp.float32)
+    d_h = jnp.einsum("htri,htrs,htsj->hij", AH, Gff, AH, precision=HIGH)
+    d_t = jnp.einsum("htri,htrs,htsj->tij", AT, Gff, AT, precision=HIGH)
+    x_ht = jnp.einsum("htri,htrs,htsj->htij", AH, Gff, AT, precision=HIGH)
+    idxF = jnp.arange(F)
+    Hff = Hff.at[idxF, :, idxF, :].add(d_h + d_t)
+    Hff = Hff + jnp.transpose(x_ht, (0, 2, 1, 3))
+    Hff = Hff + jnp.transpose(x_ht, (1, 3, 0, 2))
+
+    Hfc = (
+        jnp.einsum("htri,htrc->hic", AH, Gfc, precision=HIGH)
+        + jnp.einsum("htri,htrc->tic", AT, Gfc, precision=HIGH)
+    )
+    bf = (
+        jnp.einsum("htri,htr->hi", AH, bf_rel, precision=HIGH)
+        + jnp.einsum("htri,htr->ti", AT, bf_rel, precision=HIGH)
+    )
+
+    H = jnp.zeros((D, D), jnp.float32)
+    H = H.at[:4, :4].set(Hcc)
+    H = H.at[4:, 4:].set(Hff.reshape(8 * F, 8 * F))
+    H = H.at[4:, :4].set(Hfc.reshape(8 * F, 4))
+    H = H.at[:4, 4:].set(Hfc.reshape(8 * F, 4).T)
+    b = jnp.concatenate([bc, bf.reshape(-1)])
+    return H, b
+
+
 class SchurData(NamedTuple):
     Hdd: jnp.ndarray      # (P,) idepth hessian (+ prior)
     HdiF: jnp.ndarray     # (P,) its (masked) inverse

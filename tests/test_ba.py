@@ -264,3 +264,34 @@ class TestEnergyColumn:
                                           np.asarray(lin.energy[:, k]))
             np.testing.assert_array_equal(np.asarray(st_col),
                                           np.asarray(lin.new_state[:, k]))
+
+
+class TestAccumulateKR:
+    def test_kr_matches_einsum_form(self):
+        """accumulate_top_kr (matmul/khatri-rao shape) must match the
+        factored einsum form to f32 rounding, including mixed hosts and
+        a FEJ-shifted resApprox."""
+        ba, dI, _, _ = build_window(n_frames=4, n_points=80,
+                                    pose_noise=0.01, idepth_noise=0.05)
+        # spread hosts over slots 0..2 and keep residuals to other frames
+        key = jax.random.PRNGKey(3)
+        host = jax.random.randint(key, (P,), 0, 3)
+        res_exist = (
+            ba.pt_valid[:, None] & ba.frame_valid[None, :]
+            & (jnp.arange(F)[None, :] != host[:, None])
+        )
+        # a nonzero FEJ delta so adHTdelta / res_toZero paths are exercised
+        state = ba.state.at[1, :6].add(1e-3).at[2, 6:].add(5e-3)
+        ba = ba._replace(host=host, res_exist=res_exist, state=state)
+        pre = B.make_precalc(ba)
+        lin = B.linearize(ba, pre, dI, SETTINGS, W, H)
+
+        for resApprox in (None, B.res_to_zero(ba, pre, lin)):
+            H1, b1 = B.accumulate_top(ba, pre, lin, resApprox=resApprox)
+            H2, b2 = B.accumulate_top_kr(ba, pre, lin, resApprox=resApprox)
+            scale = float(jnp.max(jnp.abs(H1))) + 1e-9
+            np.testing.assert_allclose(np.asarray(H2), np.asarray(H1),
+                                       rtol=0, atol=2e-5 * scale)
+            bscale = float(jnp.max(jnp.abs(b1))) + 1e-9
+            np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                                       rtol=0, atol=2e-5 * bscale)
