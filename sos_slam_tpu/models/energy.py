@@ -27,10 +27,30 @@ import jax
 import jax.numpy as jnp
 
 from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.ops import ba_t as BT
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.config import CPARS, Settings
 
 HIGH = jax.lax.Precision.HIGHEST
+
+
+def _forms():
+    """BA kernel form dispatch: the reference-shaped (P,F,...) einsum forms
+    (ops/ba.py) or the lanes-last transposed forms (ops/ba_t.py, default on
+    TPU — see ba_t.enabled()). `pf` maps a per-residual (grid-shaped) array
+    to (P,F) layout. Resolved at trace time; both forms are algebraically
+    identical (tests/test_ba_t.py)."""
+    if BT.enabled():
+        return dict(lin=BT.linearize_t, top=BT.accumulate_top_t,
+                    schur=BT.accumulate_schur_t, shb=BT.schur_Hb_t,
+                    resub=BT.resubstitute_t, rz=BT.res_to_zero_t,
+                    upth=BT.update_energy_th_t, mask=BT.mask_lin_t,
+                    pf=lambda a: a.T)
+    return dict(lin=B.linearize, top=B.accumulate_top,
+                schur=B.accumulate_schur, shb=B.schur_Hb,
+                resub=B.resubstitute, rz=B.res_to_zero,
+                upth=update_energy_th, mask=_mask_lin,
+                pf=lambda a: a)
 
 
 def update_energy_th(ba: B.BAState, lin: B.LinData,
@@ -64,22 +84,23 @@ def update_energy_th(ba: B.BAState, lin: B.LinData,
 def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
             w: int, h: int):
     """One damped GN iteration. Returns (new ba, diag dict)."""
+    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
 
-    energy_th = update_energy_th(ba, lin, settings)
+    energy_th = fm["upth"](ba, lin, settings)
     ba = ba._replace(energy_th=energy_th)
 
-    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = fm["top"](ba, pre, lin)
     H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
-    sc = B.accumulate_schur(ba, pre, lin)
-    H_sc, b_sc = B.schur_Hb(sc)
+    sc = fm["schur"](ba, pre, lin)
+    H_sc, b_sc = fm["shb"](sc)
     x = B.solve_system(ba, H_top, b_top, H_sc, b_sc)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
 
     step_fr = -x[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
     step_c = -x[:CPARS]
-    step_pt = B.resubstitute(sc, x) * ba.pt_valid
+    step_pt = fm["resub"](sc, x) * ba.pt_valid
     step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
 
     new_state = ba.state + step_fr
@@ -102,13 +123,14 @@ def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     )
 
     # energy bookkeeping (OOB keeps no contribution; outliers clamped)
+    new_state_pf = fm["pf"](lin.new_state)
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
-        & (lin.new_state != B.RES_OOB)
-    energy = jnp.sum(jnp.where(live, lin.energy, 0.0))
+        & (new_state_pf != B.RES_OOB)
+    energy = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
 
     ba = ba._replace(
         state=new_state, c=new_c, idepth=new_id, idepth_zero=new_id,
-        res_state=lin.new_state,
+        res_state=new_state_pf,
     )
     return ba, canbreak, energy
 
@@ -149,20 +171,22 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     ba = ba._replace(T_cw_eval=new_eval, state=new_state, state_zero=new_zero)
 
     # final linearization: permanently drop OOB/outlier residuals
+    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
     # point idepth-Hessian inverses (template weights + marg gates) ride
     # the same linearization — a separate post-optimize pass would repeat
     # the gather-bound (P,F,8) linearize, the chain's hottest op
-    HdiF = B.accumulate_schur(ba, pre, lin).HdiF
+    HdiF = fm["schur"](ba, pre, lin).HdiF
+    new_state_pf = fm["pf"](lin.new_state)
     ba = ba._replace(
-        energy_th=update_energy_th(ba, lin, settings),
-        res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
-        res_state=lin.new_state,
+        energy_th=fm["upth"](ba, lin, settings),
+        res_exist=ba.res_exist & (new_state_pf == B.RES_IN),
+        res_state=new_state_pf,
     )
     n_active = jnp.sum(lin.active)
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
-    energy_final = jnp.sum(jnp.where(live, lin.energy, 0.0))
+    energy_final = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     is_lost = ~jnp.isfinite(energy_final)
     return ba, dict(energy=energy_final, rmse=rmse, n_its=n_its,
@@ -175,14 +199,15 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     (the imu_valid branch of solveSystemF)."""
     from sos_slam_tpu.models import imu as IM
 
+    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
-    ba = ba._replace(energy_th=update_energy_th(ba, lin, settings))
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
+    ba = ba._replace(energy_th=fm["upth"](ba, lin, settings))
 
-    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = fm["top"](ba, pre, lin)
     H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
-    sc = B.accumulate_schur(ba, pre, lin)
-    H_sc, b_sc = B.schur_Hb(sc)
+    sc = fm["schur"](ba, pre, lin)
+    H_sc, b_sc = fm["shb"](sc)
 
     x8, x_scale, x_imu = IM.solve_vio(ba, imu, H_top, b_top, H_sc, b_sc,
                                       imu.HM, imu.bM, settings)
@@ -191,7 +216,7 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     x_scale = jnp.where(jnp.isfinite(x_scale), x_scale, 0.0)
 
     step_fr = -x8[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
-    step_pt = B.resubstitute(sc, x8) * ba.pt_valid
+    step_pt = fm["resub"](sc, x8) * ba.pt_valid
     step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
 
     new_imu_state = imu.state - x_imu * imu.bias_valid[:, None]
@@ -211,14 +236,15 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
         & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
     )
 
+    new_state_pf = fm["pf"](lin.new_state)
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
-        & (lin.new_state != B.RES_OOB)
-    energy = jnp.sum(jnp.where(live, lin.energy, 0.0))
+        & (new_state_pf != B.RES_OOB)
+    energy = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
 
     ba = ba._replace(
         state=ba.state + step_fr, c=ba.c - x8[:CPARS],
         idepth=ba.idepth + step_pt, idepth_zero=ba.idepth + step_pt,
-        res_state=lin.new_state,
+        res_state=new_state_pf,
     )
     imu = imu._replace(state=new_imu_state, scale=new_scale)
     return ba, imu, canbreak, energy
@@ -273,17 +299,19 @@ def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     )
 
     # final linearization + residual pruning (same as mono)
+    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
-    HdiF = B.accumulate_schur(ba, pre, lin).HdiF   # see optimize()
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
+    HdiF = fm["schur"](ba, pre, lin).HdiF   # see optimize()
+    new_state_pf = fm["pf"](lin.new_state)
     ba = ba._replace(
-        energy_th=update_energy_th(ba, lin, settings),
-        res_exist=ba.res_exist & (lin.new_state == B.RES_IN),
-        res_state=lin.new_state,
+        energy_th=fm["upth"](ba, lin, settings),
+        res_exist=ba.res_exist & (new_state_pf == B.RES_IN),
+        res_state=new_state_pf,
     )
     n_active = jnp.sum(lin.active)
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
-    energy_final = jnp.sum(jnp.where(live, lin.energy, 0.0))
+    energy_final = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     return ba, imu, dict(energy=energy_final, rmse=rmse, n_its=n_its,
                          n_active=n_active,
@@ -395,15 +423,16 @@ def marginalize_points_vio(ba: B.BAState, imu, dI, marg, settings, w, h):
     """Point marginalization in VIO mode: the vision H goes into the
     expanded (5+29F) HM (marginalizePointsF + expandHbtoFitImu)."""
     from sos_slam_tpu.models import imu as IM
+    fm = _forms()
     marg = marg & ba.pt_valid
     pre = B.make_precalc(ba)
-    lin = _mask_lin(B.linearize(ba, pre, dI, settings, w, h), marg)
-    resZ = B.res_to_zero(ba, pre, lin)
-    H, b = B.accumulate_top(ba, pre, lin, resApprox=resZ)
-    sc = B.accumulate_schur(
+    lin = fm["mask"](fm["lin"](ba, pre, dI, settings, w, h), marg)
+    resZ = fm["rz"](ba, pre, lin)
+    H, b = fm["top"](ba, pre, lin, resApprox=resZ)
+    sc = fm["schur"](
         ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
         prior_fac=settings.idepth_fix_prior_marg_fac)
-    H_sc, b_sc = B.schur_Hb(sc)
+    H_sc, b_sc = fm["shb"](sc)
     He, be = IM.expand_vision_Hb(H - H_sc, b - b_sc, ba.F)
     HM = imu.HM + settings.marg_weight_fac * He
     HM = 0.5 * (HM + HM.T)
@@ -437,16 +466,17 @@ def marginalize_points(ba: B.BAState, dI: jnp.ndarray, marg: jnp.ndarray,
                        settings: Settings, w: int, h: int) -> B.BAState:
     """Fold flagged points into HM/bM (marginalizePointsF,
     EnergyFunctional.cpp:891-936) and drop them. marg: (P,) bool."""
+    fm = _forms()
     marg = marg & ba.pt_valid
     pre = B.make_precalc(ba)
-    lin = _mask_lin(B.linearize(ba, pre, dI, settings, w, h), marg)
-    resZ = B.res_to_zero(ba, pre, lin)
-    H, b = B.accumulate_top(ba, pre, lin, resApprox=resZ)
-    sc = B.accumulate_schur(
+    lin = fm["mask"](fm["lin"](ba, pre, dI, settings, w, h), marg)
+    resZ = fm["rz"](ba, pre, lin)
+    H, b = fm["top"](ba, pre, lin, resApprox=resZ)
+    sc = fm["schur"](
         ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
         prior_fac=settings.idepth_fix_prior_marg_fac,
     )
-    H_sc, b_sc = B.schur_Hb(sc)
+    H_sc, b_sc = fm["shb"](sc)
     HM = ba.HM + settings.marg_weight_fac * (H - H_sc)
     HM = 0.5 * (HM + HM.T)   # kill f32 rounding asymmetry
     bM = ba.bM + settings.marg_weight_fac * (b - b_sc)

@@ -490,8 +490,9 @@ class FullSystem:
             # non-keyframe, so the re-dispatch measurement times the steady
             # per-frame branch, not the cond-gated KF chain
             dispatch_rec = ("vio", args, dict(stereo=stereo_static))
-            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
-                _fused_frame_vio_jit(*args, stereo=stereo_static)
+            with self.telemetry.timed("jit_call"):
+                pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
+                    _fused_frame_vio_jit(*args, stereo=stereo_static)
         else:
             args = (jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
                     templates_in, T_primary, T_hyps, T_ref, aff0_j,
@@ -505,8 +506,9 @@ class FullSystem:
                     self.tmpl_sizes, pot,
                     n_slots, s, self.w, self.h, self.n_levels, intr)
             dispatch_rec = ("mono", args, dict(stereo=stereo_static))
-            pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
-                _fused_frame_mono_jit(*args, stereo=stereo_static)
+            with self.telemetry.timed("jit_call"):
+                pyr, need_kf_j, state_o, nxt_o, raw, fvec, ivec = \
+                    _fused_frame_mono_jit(*args, stereo=stereo_static)
         fetch_tree = (fvec, ivec)
         # blocking readback starts NOW on the IO thread; _complete_fused
         # joins the future two frames later, by which time the RPC round
@@ -561,7 +563,7 @@ class FullSystem:
              self.HdiF, self.templates, self.pc_l0) = p["state"]
         self.host_out = np.asarray(host_out_new, np.int64)
 
-        with self.telemetry.timed("track"):
+        with self.telemetry.timed("finish_step_host"):
             tres = self._finish_step_host(p, out, accept_np, T_cw_new)
         if tres is None:
             self.is_lost = True
@@ -592,9 +594,10 @@ class FullSystem:
         t0 = _time.time()
         if int(slot) >= self.F:
             raise RuntimeError("window overflow — marginalization failed")
-        self._finish_kf_fused(p, int(slot), shell, exposure, stats_t, T_cw,
-                              affs, marg_np, n_have, marg_ks, ecols_np,
-                              marg_pts, scale_o)
+        with self.telemetry.timed("kf_host"):
+            self._finish_kf_fused(p, int(slot), shell, exposure, stats_t,
+                                  T_cw, affs, marg_np, n_have, marg_ks,
+                                  ecols_np, marg_pts, scale_o)
         self.stats["opt_ms"].append((_time.time() - t0) * 1000.0)
         return False
 
@@ -2954,9 +2957,10 @@ def _kf_core_jit(ba, dI, pyr, settings, w, h, sizes, max_its, min_its):
 def _hdif_jit(ba, dI, settings, w, h):
     """Point idepth-Hessian inverses at the current state (template weights
     + marginalization gates) — one fused call."""
+    fm = E._forms()
     pre = B.make_precalc(ba)
-    lin = B.linearize(ba, pre, dI, settings, w, h)
-    return B.accumulate_schur(ba, pre, lin).HdiF
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
+    return fm["schur"](ba, pre, lin).HdiF
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
