@@ -375,11 +375,16 @@ class FullSystem:
         pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
 
-        # stereo inputs (the scale solve runs inside the chain)
+        # stereo inputs (the scale solve runs inside the chain); the mono
+        # placeholders are device-resident constants (one upload total, not
+        # three fresh device_puts per frame)
         stereo_static = None
-        img_right = jnp.zeros((1, 1), jnp.float32)
-        have_right = jnp.asarray(False)
-        T_lr_j = jnp.eye(4, dtype=jnp.float32)
+        consts = getattr(self, "_mono_stereo_consts", None)
+        if consts is None:
+            consts = (jnp.zeros((1, 1), jnp.float32), jnp.asarray(False),
+                      jnp.eye(4, dtype=jnp.float32))
+            self._mono_stereo_consts = consts
+        img_right, have_right, T_lr_j = consts
         if s.enable_scale_opt and self.stereo is not None:
             cr = self.stereo.calib_right
             stereo_static = (intr, tuple(cr.intrinsics(l)
@@ -1910,7 +1915,9 @@ def _activation_jit(ba, imm, dI, min_act_dist, w, h, settings):
     K = min(1024, N)
     idx, _ = selector.compact_mask_indices(want, K)
     sub = jax.tree.map(lambda a: a[idx], imm)
-    idepth_k, ok_k, _ = TR.activate_points(
+    from sos_slam_tpu.ops import ba_t as BT
+    act_fn = TR.activate_points_t if BT.enabled() else TR.activate_points
+    idepth_k, ok_k, _ = act_fn(
         sub, want[idx], dI, pre.R, pre.t, pre.affLL, ba.frame_valid,
         (fx, fy, cx, cy), w, h, settings,
     )

@@ -496,3 +496,145 @@ def activate_points(
         & (idepth > 0)
     )
     return idepth, ok, res_in
+
+def activate_points_t(
+    imm: ImmatureState,
+    candidate: jnp.ndarray,
+    dI: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    affLL: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    intr: Tuple[float, float, float, float],
+    w: int, h: int,
+    settings: Settings,
+):
+    """activate_points in the lanes-last layout (see ops/ba_t.py): per-tap
+    arrays are (F, 8, N) with the candidate axis on lanes, host-indexed
+    transforms become one-hot contractions, gathers go through planar
+    channel rows. Same contract and algebra as activate_points (parity:
+    tests/test_ba_t.py::TestActivateT); f32 rounding differs ~1e-6."""
+    fx, fy, cx, cy = intr
+    N = imm.u.shape[0]
+    F = dI.shape[0]
+    HIGH = jax.lax.Precision.HIGHEST
+    pat = jnp.asarray(PATTERN_OFFSETS, jnp.float32)
+
+    onehot = jax.nn.one_hot(imm.host, F, dtype=jnp.float32)   # (N,Fh)
+    Re = jnp.einsum("hfij,nh->fijn", R, onehot, precision=HIGH)
+    te = jnp.einsum("hfi,nh->fin", t, onehot, precision=HIGH)
+    ae = jnp.einsum("hfc,nh->fcn", affLL, onehot, precision=HIGH)
+    is_host = onehot.T.astype(bool)                            # (F,N)
+    res_ok0 = candidate[None, :] & frame_valid[:, None] & ~is_host
+
+    KliPp = jnp.stack(
+        [
+            (imm.u[None, :] + pat[:, 0:1] - cx) / fx,
+            (imm.v[None, :] + pat[:, 1:2] - cy) / fy,
+            jnp.ones((8, N)),
+        ],
+        0,
+    )  # (3,8,N)
+    colorT = imm.color.T      # (8,N)
+    w2T = (imm.weights.T) ** 2
+
+    H_, W_ = dI.shape[1], dI.shape[2]
+    flatT = dI.reshape(F * H_ * W_, 3).T
+    fofs = (jnp.arange(F, dtype=jnp.int32) * (H_ * W_))[:, None, None]
+
+    def linearize_idepth(idepth, oob_in):
+        """(energy (F,N), Hdd (F,N), bd (F,N), new_oob (F,N))."""
+        ptp = (jnp.einsum("fijn,jkn->fikn", Re, KliPp, precision=HIGH)
+               + te[:, :, None, :] * idepth[None, None, None, :])
+        drescale = 1.0 / ptp[:, 2]          # (F,8,N)
+        uu = ptp[:, 0] * drescale
+        vv = ptp[:, 1] * drescale
+        Ku = uu * fx + cx
+        Kv = vv * fy + cy
+        ok = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) \
+            & (Ku < w - 3) & (Kv < h - 3)
+
+        x0 = jnp.clip(jnp.floor(Ku), 0, W_ - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(Kv), 0, H_ - 2).astype(jnp.int32)
+        dx = jnp.clip(Ku - x0, 0.0, 1.0)
+        dy = jnp.clip(Kv - y0, 0.0, 1.0)
+        idx = fofs + y0 * W_ + x0
+
+        def sample(c):
+            row = flatT[c]
+            tl = jnp.take(row, idx)
+            tr = jnp.take(row, idx + 1)
+            bl = jnp.take(row, idx + W_)
+            br = jnp.take(row, idx + W_ + 1)
+            return (tl * (1 - dx) * (1 - dy) + tr * dx * (1 - dy)
+                    + bl * (1 - dx) * dy + br * dx * dy)
+
+        hitI, gx, gy = sample(0), sample(1), sample(2)
+        ok &= jnp.isfinite(hitI)
+        oob = oob_in | ~jnp.all(ok, 1)      # (F,N)
+
+        r = hitI - (ae[:, 0:1, :] * colorT[None] + ae[:, 1:2, :])
+        ar = jnp.abs(r)
+        hw = jnp.where(ar < settings.huber_th, 1.0,
+                       settings.huber_th / jnp.maximum(ar, 1e-9))
+        e_pat = w2T[None] * hw * r * r * (2 - hw)
+        e_res = jnp.sum(e_pat, 1)           # (F,N)
+
+        d_id = (
+            gx * fx * drescale * (te[:, 0:1, :] - te[:, 2:3, :] * uu)
+            + gy * fy * drescale * (te[:, 1:2, :] - te[:, 2:3, :] * vv)
+        )  # (F,8,N)
+        hw_w = hw * w2T[None]
+        Hdd_res = jnp.sum(hw_w * d_id * d_id, 1)
+        bd_res = jnp.sum(hw_w * r * d_id, 1)
+        return e_res, Hdd_res, bd_res, oob
+
+    idepth0 = 0.5 * (imm.idepth_min + imm.idepth_max)
+    idepth0 = jnp.where(jnp.isfinite(idepth0), idepth0, 0.5)
+
+    e0, H0, b0, oob = linearize_idepth(idepth0, ~res_ok0)
+    live = ~oob
+    Hdd = jnp.sum(jnp.where(live, H0, 0.0), 0)
+    bd = jnp.sum(jnp.where(live, b0, 0.0), 0)
+    energy = jnp.sum(jnp.where(live, e0, 0.0), 0)
+
+    def gn_body(it, carry):
+        idp, Hdd, bd, energy, oob, e_res, lam = carry
+        step = bd / (Hdd * (1.0 + lam))
+        new_idp = idp - step
+        e1, H1, b1, oob1 = linearize_idepth(new_idp, oob)
+        live1 = ~oob1
+        e1c = jnp.minimum(e1, imm.energy_th[None, :])
+        eN = jnp.sum(jnp.where(live1, e1c, 0.0), 0)
+        HN = jnp.sum(jnp.where(live1, H1, 0.0), 0)
+        bN = jnp.sum(jnp.where(live1, b1, 0.0), 0)
+        accept = eN < energy
+        idp2 = jnp.where(accept, new_idp, idp)
+        lam2 = jnp.where(accept, lam * 0.5, lam * 5.0)
+        return (
+            idp2,
+            jnp.where(accept, HN, Hdd),
+            jnp.where(accept, bN, bd),
+            jnp.where(accept, eN, energy),
+            jnp.where(accept[None, :], oob1, oob),
+            jnp.where(accept[None, :], e1, e_res),
+            lam2,
+        )
+
+    carry = (idepth0, Hdd, bd, energy, oob, e0, jnp.full((N,), 0.1))
+    for _it in range(settings.gn_its_on_point_activation):
+        carry = gn_body(_it, carry)
+    idepth, Hdd, bd, energy, oob, e_res, _ = carry
+
+    res_in_t = ~oob & (e_res <= imm.energy_th[None, :]) & res_ok0
+    n_good = jnp.sum(res_in_t, 0)
+
+    ok = (
+        candidate
+        & jnp.isfinite(energy)
+        & (Hdd >= settings.min_idepth_h_act)
+        & jnp.isfinite(idepth)
+        & (n_good >= 1)
+        & (idepth > 0)
+    )
+    return idepth, ok, res_in_t.T
