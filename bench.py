@@ -43,6 +43,11 @@ def main():
     fs = FullSystem(calib, settings)
 
     verbose = os.environ.get("SOS_BENCH_VERBOSE", "0") == "1"
+    # SOS_BENCH_PROFILE=1: cProfile the steady window IN PIPELINED MODE
+    # (profile_host.py blocks per frame, which serializes exactly what the
+    # pipeline hides — this is the only honest host-cost decomposition)
+    profile = os.environ.get("SOS_BENCH_PROFILE", "0") == "1"
+    prof = None
     # throughput is steady-window WALL time (the pipeline overlaps the
     # per-frame readback with the next frame's execution — a per-frame
     # device sync would serialize exactly what it hides); per-frame
@@ -61,6 +66,10 @@ def main():
             # load lands inside the timed window
             fs.prewarm()
             jax.block_until_ready(fs.ba.state)
+            if profile:
+                import cProfile
+                prof = cProfile.Profile()
+                prof.enable()
             t_steady = time.time()
         n_kf_before = fs.stats["n_kf"]
         t0 = time.time()
@@ -72,6 +81,12 @@ def main():
     fs.finish_pending()
     jax.block_until_ready(fs.ba.state)
     t_end = time.time()
+    if prof is not None:
+        import pstats
+        prof.disable()
+        st = pstats.Stats(prof, stream=sys.stderr).sort_stats("cumulative")
+        st.print_stats(45)
+        sys.stderr.flush()
     if verbose:
         rep = fs.telemetry.report()
         for k, v in sorted(rep["timers_ms"].items()):

@@ -15,6 +15,7 @@ restricted to control decisions the reference also makes on scalars
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import jax
@@ -187,10 +188,12 @@ class FullSystem:
         # pipelining of the fused path (default on: sync and pipelined
         # modes consume bit-identical chained device values, pipelining
         # only overlaps readback round trips with later frames' execution;
-        # see _add_frame_fused). Depth 2 gives the async device->host
-        # copies a full frame of slack to land before their fetch.
+        # see _add_frame_fused). Depth 3 gives each frame's readback RPC
+        # (~28 ms tunnel round trip, overlapped across frames by the
+        # hostio fetch pool) two full frames of slack to land before its
+        # future is joined; SOS_SLAM_PIPE_DEPTH overrides.
         self.pipeline = True
-        self.pipeline_depth = 2
+        self.pipeline_depth = int(os.environ.get("SOS_SLAM_PIPE_DEPTH", "3"))
         from collections import deque
         self._pending_fused = deque()  # dispatched, not yet completed
         self._last_chain = None      # last completed frame's chain record
