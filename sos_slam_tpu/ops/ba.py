@@ -536,6 +536,16 @@ def accumulate_top(ba: BAState, pre: Precalc, lin: LinData,
     accH = accH.at[..., 10:, 10:].set(A_aa)
     accb = jnp.concatenate([b_g, b_a], -1)      # (F,F,12)
 
+    return stitch_acc(ba, pre, accH, accb)
+
+
+def stitch_acc(ba: BAState, pre: Precalc, accH: jnp.ndarray,
+               accb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Adjoint stitch of per-(h,t) 12x12 cells into the (D,D) absolute H
+    and (D,) b (stitchDouble, AccumulatedTopHessian.cpp:155-301) — shared
+    by accumulate_top / accumulate_top_kr / ba_t.accumulate_top_t."""
+    F = ba.F
+    D = CPARS + 8 * F
     # split: calib rows (4) and rel-frame rows (8 = xi+aff)
     Hcc = accH[..., :4, :4].sum((0, 1))
     Gfc = accH[..., 4:, :4]                     # (F,F,8,4)
@@ -608,42 +618,7 @@ def accumulate_top_kr(ba: BAState, pre: Precalc, lin: LinData,
     U = onehot[:, None, None, :, None] * Y[:, :, :, None, :]
     acc = jnp.einsum("pfki,pfkhj->hfij", Y, U, precision=HIGH)  # (Fh,Ft,13,13)
 
-    accH = acc[..., :12, :12]
-    accb = acc[..., :12, 12]
-
-    # stitch — identical to accumulate_top
-    Hcc = accH[..., :4, :4].sum((0, 1))
-    Gfc = accH[..., 4:, :4]                     # (F,F,8,4)
-    Gff = accH[..., 4:, 4:]                     # (F,F,8,8)
-    bc = accb[..., :4].sum((0, 1))
-    bf_rel = accb[..., 4:]                      # (F,F,8)
-
-    AH, AT = pre.adHost, pre.adTarget
-    Hff = jnp.zeros((F, 8, F, 8), jnp.float32)
-    d_h = jnp.einsum("htri,htrs,htsj->hij", AH, Gff, AH, precision=HIGH)
-    d_t = jnp.einsum("htri,htrs,htsj->tij", AT, Gff, AT, precision=HIGH)
-    x_ht = jnp.einsum("htri,htrs,htsj->htij", AH, Gff, AT, precision=HIGH)
-    idxF = jnp.arange(F)
-    Hff = Hff.at[idxF, :, idxF, :].add(d_h + d_t)
-    Hff = Hff + jnp.transpose(x_ht, (0, 2, 1, 3))
-    Hff = Hff + jnp.transpose(x_ht, (1, 3, 0, 2))
-
-    Hfc = (
-        jnp.einsum("htri,htrc->hic", AH, Gfc, precision=HIGH)
-        + jnp.einsum("htri,htrc->tic", AT, Gfc, precision=HIGH)
-    )
-    bf = (
-        jnp.einsum("htri,htr->hi", AH, bf_rel, precision=HIGH)
-        + jnp.einsum("htri,htr->ti", AT, bf_rel, precision=HIGH)
-    )
-
-    H = jnp.zeros((D, D), jnp.float32)
-    H = H.at[:4, :4].set(Hcc)
-    H = H.at[4:, 4:].set(Hff.reshape(8 * F, 8 * F))
-    H = H.at[4:, :4].set(Hfc.reshape(8 * F, 4))
-    H = H.at[:4, 4:].set(Hfc.reshape(8 * F, 4).T)
-    b = jnp.concatenate([bc, bf.reshape(-1)])
-    return H, b
+    return stitch_acc(ba, pre, acc[..., :12, :12], acc[..., :12, 12])
 
 
 class SchurData(NamedTuple):

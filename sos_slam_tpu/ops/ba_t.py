@@ -89,7 +89,7 @@ def linearize_t(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
     Rce = hsel(pre.R)         # (F,3,3,P)
     tce = hsel(pre.t)         # (F,3,P)
     affe = hsel(pre.affLL)    # (F,2,P)
-    b0e = onehot @ pre.b0     # (P,)
+    b0e = jnp.einsum("ph,h->p", onehot, pre.b0, precision=HIGH)  # (P,)
 
     # ---- geometry part at FEJ (center pixel, idepth_zero) ----
     KliP = jnp.stack(
@@ -207,7 +207,7 @@ def linearize_t(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
     wJI2 = jnp.sum(hw2 * hw2 * (gx * gx + gy * gy), 1)   # (F,P)
 
     # outlier decision (Residuals.cpp:253-265)
-    th_h = onehot @ ba.energy_th       # (P,)
+    th_h = jnp.einsum("ph,h->p", onehot, ba.energy_th, precision=HIGH)  # (P,)
     th = jnp.maximum(th_h[None, :], ba.energy_th[:, None])   # (F,P)
     outlier = (energy_raw > th) | (wJI2 < 2.0)
     energy = jnp.where(outlier, th, energy_raw)
@@ -239,45 +239,7 @@ def linearize_t(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
     )
 
 
-def _stitch_acc(ba: B.BAState, pre: B.Precalc, accH: jnp.ndarray,
-                accb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Adjoint stitch of per-(h,t) 12x12 cells into the (D,D) absolute
-    H and (D,) b (stitchDouble, AccumulatedTopHessian.cpp:155-301) —
-    shared by accumulate_top/accumulate_top_kr/accumulate_top_t."""
-    F = ba.F
-    D = CPARS + 8 * F
-    Hcc = accH[..., :4, :4].sum((0, 1))
-    Gfc = accH[..., 4:, :4]                     # (F,F,8,4)
-    Gff = accH[..., 4:, 4:]                     # (F,F,8,8)
-    bc = accb[..., :4].sum((0, 1))
-    bf_rel = accb[..., 4:]                      # (F,F,8)
-
-    AH, AT = pre.adHost, pre.adTarget
-    Hff = jnp.zeros((F, 8, F, 8), jnp.float32)
-    d_h = jnp.einsum("htri,htrs,htsj->hij", AH, Gff, AH, precision=HIGH)
-    d_t = jnp.einsum("htri,htrs,htsj->tij", AT, Gff, AT, precision=HIGH)
-    x_ht = jnp.einsum("htri,htrs,htsj->htij", AH, Gff, AT, precision=HIGH)
-    idxF = jnp.arange(F)
-    Hff = Hff.at[idxF, :, idxF, :].add(d_h + d_t)
-    Hff = Hff + jnp.transpose(x_ht, (0, 2, 1, 3))
-    Hff = Hff + jnp.transpose(x_ht, (1, 3, 0, 2))
-
-    Hfc = (
-        jnp.einsum("htri,htrc->hic", AH, Gfc, precision=HIGH)
-        + jnp.einsum("htri,htrc->tic", AT, Gfc, precision=HIGH)
-    )
-    bf = (
-        jnp.einsum("htri,htr->hi", AH, bf_rel, precision=HIGH)
-        + jnp.einsum("htri,htr->ti", AT, bf_rel, precision=HIGH)
-    )
-
-    H = jnp.zeros((D, D), jnp.float32)
-    H = H.at[:4, :4].set(Hcc)
-    H = H.at[4:, 4:].set(Hff.reshape(8 * F, 8 * F))
-    H = H.at[4:, :4].set(Hfc.reshape(8 * F, 4))
-    H = H.at[:4, 4:].set(Hfc.reshape(8 * F, 4).T)
-    b = jnp.concatenate([bc, bf.reshape(-1)])
-    return H, b
+_stitch_acc = B.stitch_acc  # shared adjoint stitch (ba.stitch_acc)
 
 
 def accumulate_top_t(ba: B.BAState, pre: B.Precalc, lin: LinDataT,
@@ -296,7 +258,7 @@ def accumulate_top_t(ba: B.BAState, pre: B.Precalc, lin: LinDataT,
     oh_n = jnp.broadcast_to(lin.onehot[None], (8, P, F)).reshape(8 * P, F)
     Yh = Yr[:, :, :, None] * oh_n[None, None, :, :]            # (F,13,N,Fh)
     acc = jnp.einsum("fin,fjnh->hfij", Yr, Yh, precision=HIGH)  # (Fh,Ft,13,13)
-    return _stitch_acc(ba, pre, acc[..., :12, :12], acc[..., :12, 12])
+    return B.stitch_acc(ba, pre, acc[..., :12, :12], acc[..., :12, 12])
 
 
 class SchurDataT(NamedTuple):

@@ -70,7 +70,12 @@ def fetch_future(tree) -> Future:
 
     The worker only *reads* settled device arrays, so it is safe alongside
     the main thread's dispatches (PJRT clients are thread-safe for
-    concurrent execute + transfer)."""
+    concurrent execute + transfer).
+
+    NO completion-ordering guarantee: with several pool workers, futures
+    submitted later may complete first. Callers must hold the Future for
+    each readback they need (as the per-frame records do) — do not assume
+    FIFO completion across calls."""
     global _fetch_pool
     if _fetch_pool is None:
         _fetch_pool = ThreadPoolExecutor(
