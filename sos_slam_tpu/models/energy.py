@@ -67,10 +67,11 @@ def update_energy_th(ba: B.BAState, lin: B.LinData,
     )
     e = jnp.where(considered, col(lin.energy_raw), jnp.inf)
     n = jnp.sum(considered)
-    e_sorted = jnp.sort(e)
     nth = jnp.clip((settings.frame_energy_th_n * n).astype(jnp.int32), 0,
                    e.shape[0] - 1)
-    nth_el = jnp.sqrt(e_sorted[nth])
+    # exact nth element by radix select (== jnp.sort(e)[nth]); the sort ran
+    # every GN iteration and was a measurable slice of the KF chain
+    nth_el = jnp.sqrt(B.nth_smallest(e, nth))
     th = nth_el * settings.frame_energy_th_fac_median
     th = (26.0 * settings.frame_energy_th_const_weight
           + th * (1.0 - settings.frame_energy_th_const_weight))

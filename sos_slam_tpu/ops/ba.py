@@ -70,6 +70,42 @@ RES_OOB = 1
 RES_OUTLIER = 2
 
 
+def nth_smallest(e: jnp.ndarray, nth: jnp.ndarray) -> jnp.ndarray:
+    """Exact nth-smallest element of a 1-D f32 array (== jnp.sort(e)[nth])
+    without a sort: 4-pass radix select over the sign-adjusted f32 bit
+    pattern. Each pass is one (P,256) compare + column reduction — ~0.5M
+    VPU ops total vs the O(P log^2 P) padded bitonic sort XLA emits on TPU
+    (the quantile in setNewFrameEnergyTH runs every GN iteration, so the
+    sort was a per-iteration hot spot).
+
+    Total order matches jnp.sort for all non-NaN values (+-0.0 tie ranks
+    deterministically; both bitcast to distinct keys but compare equal as
+    floats, so a selected +-0.0 is numerically identical either way)."""
+    u = jax.lax.bitcast_convert_type(e, jnp.uint32)
+    neg = u >> jnp.uint32(31)
+    key = jnp.where(neg == 1, ~u, u | jnp.uint32(0x80000000))
+    bins = jnp.arange(256, dtype=jnp.uint32)
+    cand = jnp.ones(e.shape[0], bool)
+    k = nth.astype(jnp.int32)
+    sel = jnp.uint32(0)
+    for shift in (24, 16, 8, 0):
+        digit = (key >> jnp.uint32(shift)) & jnp.uint32(0xFF)
+        hist = jnp.sum(
+            (digit[:, None] == bins[None, :]) & cand[:, None],
+            axis=0, dtype=jnp.int32)                      # (256,)
+        c = jnp.cumsum(hist)
+        b = jnp.sum((c <= k).astype(jnp.int32))           # chosen bin
+        below = jnp.where(b > 0, jnp.take(c, jnp.maximum(b - 1, 0)), 0)
+        k = k - below
+        b_u = b.astype(jnp.uint32)
+        cand = cand & (digit == b_u)
+        sel = sel | (b_u << jnp.uint32(shift))
+    # invert the order-preserving map
+    val_bits = jnp.where(sel >= jnp.uint32(0x80000000),
+                         sel & jnp.uint32(0x7FFFFFFF), ~sel)
+    return jax.lax.bitcast_convert_type(val_bits, jnp.float32)
+
+
 class BAState(NamedTuple):
     """The sliding window as fixed-shape arrays (padded + masked).
 

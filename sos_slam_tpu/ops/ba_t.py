@@ -357,10 +357,9 @@ def update_energy_th_t(ba: B.BAState, lin: LinDataT,
     e = jnp.where(considered, jnp.take(lin.energy_raw, newest, axis=0),
                   jnp.inf)
     n = jnp.sum(considered)
-    e_sorted = jnp.sort(e)
     nth = jnp.clip((settings.frame_energy_th_n * n).astype(jnp.int32), 0,
                    e.shape[0] - 1)
-    nth_el = jnp.sqrt(e_sorted[nth])
+    nth_el = jnp.sqrt(B.nth_smallest(e, nth))   # exact, sort-free
     th = nth_el * settings.frame_energy_th_fac_median
     th = (26.0 * settings.frame_energy_th_const_weight
           + th * (1.0 - settings.frame_energy_th_const_weight))
