@@ -37,17 +37,19 @@ HIGH = jax.lax.Precision.HIGHEST
 
 
 def enabled() -> bool:
-    """Use the lanes-last BA forms on the device path. Default ON for TPU
-    backends, OFF elsewhere (CPU doesn't tile-pad; the ba.py forms are
-    fine there and keep the reference-shaped code on the test path).
-    Override with SOS_SLAM_BA_T=0/1."""
+    """Use the lanes-last BA forms on the device path. Default OFF: the
+    round-4 head-to-head on the real v5e (scripts/probe_ba_forms.py,
+    scan-chained) measured linearize_t at 13.2 ms vs 5.5 ms for the
+    reference-shaped einsum form, and the full lin+top+schur+solve chain
+    at 14.6 ms vs 6.9 ms — the (F,*,P) layout loses more to its one-hot
+    gather redundancy and transposed image taps than it gains in lane
+    packing (XLA already tiles the (P,F,8) minors acceptably after
+    fusion). Kept as a tested alternative form; override with
+    SOS_SLAM_BA_T=1 to re-evaluate on future hardware/compilers."""
     v = os.environ.get("SOS_SLAM_BA_T")
     if v is not None:
         return v == "1"
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    return False
 
 
 class LinDataT(NamedTuple):
