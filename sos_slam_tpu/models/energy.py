@@ -27,11 +27,62 @@ import jax
 import jax.numpy as jnp
 
 from sos_slam_tpu.ops import ba as B
+from sos_slam_tpu.ops import ba_p as BP
 from sos_slam_tpu.ops import ba_t as BT
 from sos_slam_tpu.utils import lie
 from sos_slam_tpu.utils.config import CPARS, Settings
 
 HIGH = jax.lax.Precision.HIGHEST
+
+
+def _iter_quants(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
+                 settings: Settings, w: int, h: int) -> dict:
+    """Everything one GN iteration consumes from the (P,F) linearization.
+
+    Dispatches to the Pallas fused kernel (ops/ba_p.py — one kernel for
+    linearize+top+Schur) when enabled, else composes the einsum forms.
+    Returned keys: Htop/btop (no priors), Hsc/bsc, resub (x -> idepth
+    step), HdiF, energy_pf/new_state_pf ((P,F) layout), lin_for_th + upth
+    (the energy-threshold update pair), n_active."""
+    if BP.enabled():
+        fo = BP.fused_iteration(ba, pre, dI, settings, w, h)
+        return dict(
+            Htop=fo.H_top, btop=fo.b_top, Hsc=fo.H_sc, bsc=fo.b_sc,
+            resub=lambda x: BT.resubstitute_t(fo.sc, x), HdiF=fo.sc.HdiF,
+            energy_pf=fo.energy.T, new_state_pf=fo.new_state.T,
+            lin_for_th=fo, upth=BT.update_energy_th_t,
+            n_active=jnp.sum(fo.active))
+    fm = _forms()
+    lin = fm["lin"](ba, pre, dI, settings, w, h)
+    H_top, b_top = fm["top"](ba, pre, lin)
+    sc = fm["schur"](ba, pre, lin)
+    H_sc, b_sc = fm["shb"](sc)
+    return dict(
+        Htop=H_top, btop=b_top, Hsc=H_sc, bsc=b_sc,
+        resub=lambda x: fm["resub"](sc, x), HdiF=sc.HdiF,
+        energy_pf=fm["pf"](lin.energy), new_state_pf=fm["pf"](lin.new_state),
+        lin_for_th=lin, upth=fm["upth"], n_active=jnp.sum(lin.active))
+
+
+def _marg_Hb(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
+             marg: jnp.ndarray, settings: Settings, w: int, h: int):
+    """(H, b, H_sc, b_sc) of the marginalized-point subset, mode 2
+    (FEJ-shifted res_toZero residuals) — fused-kernel or einsum forms."""
+    if BP.enabled():
+        fo = BP.fused_iteration(
+            ba, pre, dI, settings, w, h, pmask=marg, use_rz=True,
+            shift_prior_to_zero=False,
+            prior_fac=settings.idepth_fix_prior_marg_fac)
+        return fo.H_top, fo.b_top, fo.H_sc, fo.b_sc
+    fm = _forms()
+    lin = fm["mask"](fm["lin"](ba, pre, dI, settings, w, h), marg)
+    resZ = fm["rz"](ba, pre, lin)
+    H, b = fm["top"](ba, pre, lin, resApprox=resZ)
+    sc = fm["schur"](
+        ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
+        prior_fac=settings.idepth_fix_prior_marg_fac)
+    H_sc, b_sc = fm["shb"](sc)
+    return H, b, H_sc, b_sc
 
 
 def _forms():
@@ -85,23 +136,19 @@ def update_energy_th(ba: B.BAState, lin: B.LinData,
 def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
             w: int, h: int):
     """One damped GN iteration. Returns (new ba, diag dict)."""
-    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = fm["lin"](ba, pre, dI, settings, w, h)
+    q = _iter_quants(ba, pre, dI, settings, w, h)
 
-    energy_th = fm["upth"](ba, lin, settings)
+    energy_th = q["upth"](ba, q["lin_for_th"], settings)
     ba = ba._replace(energy_th=energy_th)
 
-    H_top, b_top = fm["top"](ba, pre, lin)
-    H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
-    sc = fm["schur"](ba, pre, lin)
-    H_sc, b_sc = fm["shb"](sc)
-    x = B.solve_system(ba, H_top, b_top, H_sc, b_sc)
+    H_top, b_top = B.add_priors(ba, q["Htop"], q["btop"], settings)
+    x = B.solve_system(ba, H_top, b_top, q["Hsc"], q["bsc"])
     x = jnp.where(jnp.isfinite(x), x, 0.0)
 
     step_fr = -x[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
     step_c = -x[:CPARS]
-    step_pt = fm["resub"](sc, x) * ba.pt_valid
+    step_pt = q["resub"](x) * ba.pt_valid
     step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
 
     new_state = ba.state + step_fr
@@ -124,10 +171,10 @@ def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     )
 
     # energy bookkeeping (OOB keeps no contribution; outliers clamped)
-    new_state_pf = fm["pf"](lin.new_state)
+    new_state_pf = q["new_state_pf"]
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
         & (new_state_pf != B.RES_OOB)
-    energy = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
+    energy = jnp.sum(jnp.where(live, q["energy_pf"], 0.0))
 
     ba = ba._replace(
         state=new_state, c=new_c, idepth=new_id, idepth_zero=new_id,
@@ -171,23 +218,22 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
     new_zero = jnp.where(sel, zero_pose_state, ba.state_zero)
     ba = ba._replace(T_cw_eval=new_eval, state=new_state, state_zero=new_zero)
 
-    # final linearization: permanently drop OOB/outlier residuals
-    fm = _forms()
-    pre = B.make_precalc(ba)
-    lin = fm["lin"](ba, pre, dI, settings, w, h)
-    # point idepth-Hessian inverses (template weights + marg gates) ride
+    # final linearization: permanently drop OOB/outlier residuals.
+    # Point idepth-Hessian inverses (template weights + marg gates) ride
     # the same linearization — a separate post-optimize pass would repeat
-    # the gather-bound (P,F,8) linearize, the chain's hottest op
-    HdiF = fm["schur"](ba, pre, lin).HdiF
-    new_state_pf = fm["pf"](lin.new_state)
+    # the gather-bound (P,F,8) linearize, the chain's hottest op.
+    pre = B.make_precalc(ba)
+    q = _iter_quants(ba, pre, dI, settings, w, h)
+    HdiF = q["HdiF"]
+    new_state_pf = q["new_state_pf"]
     ba = ba._replace(
-        energy_th=fm["upth"](ba, lin, settings),
+        energy_th=q["upth"](ba, q["lin_for_th"], settings),
         res_exist=ba.res_exist & (new_state_pf == B.RES_IN),
         res_state=new_state_pf,
     )
-    n_active = jnp.sum(lin.active)
+    n_active = q["n_active"]
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
-    energy_final = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
+    energy_final = jnp.sum(jnp.where(live, q["energy_pf"], 0.0))
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     is_lost = ~jnp.isfinite(energy_final)
     return ba, dict(energy=energy_final, rmse=rmse, n_its=n_its,
@@ -200,24 +246,20 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     (the imu_valid branch of solveSystemF)."""
     from sos_slam_tpu.models import imu as IM
 
-    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = fm["lin"](ba, pre, dI, settings, w, h)
-    ba = ba._replace(energy_th=fm["upth"](ba, lin, settings))
+    q = _iter_quants(ba, pre, dI, settings, w, h)
+    ba = ba._replace(energy_th=q["upth"](ba, q["lin_for_th"], settings))
 
-    H_top, b_top = fm["top"](ba, pre, lin)
-    H_top, b_top = B.add_priors(ba, H_top, b_top, settings)
-    sc = fm["schur"](ba, pre, lin)
-    H_sc, b_sc = fm["shb"](sc)
+    H_top, b_top = B.add_priors(ba, q["Htop"], q["btop"], settings)
 
-    x8, x_scale, x_imu = IM.solve_vio(ba, imu, H_top, b_top, H_sc, b_sc,
-                                      imu.HM, imu.bM, settings)
+    x8, x_scale, x_imu = IM.solve_vio(ba, imu, H_top, b_top, q["Hsc"],
+                                      q["bsc"], imu.HM, imu.bM, settings)
     x8 = jnp.where(jnp.isfinite(x8), x8, 0.0)
     x_imu = jnp.where(jnp.isfinite(x_imu), x_imu, 0.0)
     x_scale = jnp.where(jnp.isfinite(x_scale), x_scale, 0.0)
 
     step_fr = -x8[CPARS:].reshape(ba.F, 8) * ba.frame_valid[:, None]
-    step_pt = fm["resub"](sc, x8) * ba.pt_valid
+    step_pt = q["resub"](x8) * ba.pt_valid
     step_pt = jnp.where(jnp.isfinite(step_pt), step_pt, 0.0)
 
     new_imu_state = imu.state - x_imu * imu.bias_valid[:, None]
@@ -237,10 +279,10 @@ def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
         & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
     )
 
-    new_state_pf = fm["pf"](lin.new_state)
+    new_state_pf = q["new_state_pf"]
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :] \
         & (new_state_pf != B.RES_OOB)
-    energy = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
+    energy = jnp.sum(jnp.where(live, q["energy_pf"], 0.0))
 
     ba = ba._replace(
         state=ba.state + step_fr, c=ba.c - x8[:CPARS],
@@ -300,19 +342,18 @@ def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     )
 
     # final linearization + residual pruning (same as mono)
-    fm = _forms()
     pre = B.make_precalc(ba)
-    lin = fm["lin"](ba, pre, dI, settings, w, h)
-    HdiF = fm["schur"](ba, pre, lin).HdiF   # see optimize()
-    new_state_pf = fm["pf"](lin.new_state)
+    q = _iter_quants(ba, pre, dI, settings, w, h)
+    HdiF = q["HdiF"]   # see optimize()
+    new_state_pf = q["new_state_pf"]
     ba = ba._replace(
-        energy_th=fm["upth"](ba, lin, settings),
+        energy_th=q["upth"](ba, q["lin_for_th"], settings),
         res_exist=ba.res_exist & (new_state_pf == B.RES_IN),
         res_state=new_state_pf,
     )
-    n_active = jnp.sum(lin.active)
+    n_active = q["n_active"]
     live = ba.res_exist & ba.pt_valid[:, None] & ba.frame_valid[None, :]
-    energy_final = jnp.sum(jnp.where(live, fm["pf"](lin.energy), 0.0))
+    energy_final = jnp.sum(jnp.where(live, q["energy_pf"], 0.0))
     rmse = jnp.sqrt(energy_final / jnp.maximum(8.0 * n_active, 1.0))
     return ba, imu, dict(energy=energy_final, rmse=rmse, n_its=n_its,
                          n_active=n_active,
@@ -424,16 +465,9 @@ def marginalize_points_vio(ba: B.BAState, imu, dI, marg, settings, w, h):
     """Point marginalization in VIO mode: the vision H goes into the
     expanded (5+29F) HM (marginalizePointsF + expandHbtoFitImu)."""
     from sos_slam_tpu.models import imu as IM
-    fm = _forms()
     marg = marg & ba.pt_valid
     pre = B.make_precalc(ba)
-    lin = fm["mask"](fm["lin"](ba, pre, dI, settings, w, h), marg)
-    resZ = fm["rz"](ba, pre, lin)
-    H, b = fm["top"](ba, pre, lin, resApprox=resZ)
-    sc = fm["schur"](
-        ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
-        prior_fac=settings.idepth_fix_prior_marg_fac)
-    H_sc, b_sc = fm["shb"](sc)
+    H, b, H_sc, b_sc = _marg_Hb(ba, pre, dI, marg, settings, w, h)
     He, be = IM.expand_vision_Hb(H - H_sc, b - b_sc, ba.F)
     HM = imu.HM + settings.marg_weight_fac * He
     HM = 0.5 * (HM + HM.T)
@@ -467,17 +501,9 @@ def marginalize_points(ba: B.BAState, dI: jnp.ndarray, marg: jnp.ndarray,
                        settings: Settings, w: int, h: int) -> B.BAState:
     """Fold flagged points into HM/bM (marginalizePointsF,
     EnergyFunctional.cpp:891-936) and drop them. marg: (P,) bool."""
-    fm = _forms()
     marg = marg & ba.pt_valid
     pre = B.make_precalc(ba)
-    lin = fm["mask"](fm["lin"](ba, pre, dI, settings, w, h), marg)
-    resZ = fm["rz"](ba, pre, lin)
-    H, b = fm["top"](ba, pre, lin, resApprox=resZ)
-    sc = fm["schur"](
-        ba, pre, lin, resApprox=resZ, shift_prior_to_zero=False,
-        prior_fac=settings.idepth_fix_prior_marg_fac,
-    )
-    H_sc, b_sc = fm["shb"](sc)
+    H, b, H_sc, b_sc = _marg_Hb(ba, pre, dI, marg, settings, w, h)
     HM = ba.HM + settings.marg_weight_fac * (H - H_sc)
     HM = 0.5 * (HM + HM.T)   # kill f32 rounding asymmetry
     bM = ba.bM + settings.marg_weight_fac * (b - b_sc)
