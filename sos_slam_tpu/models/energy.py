@@ -134,9 +134,11 @@ def update_energy_th(ba: B.BAState, lin: B.LinData,
 
 
 def gn_step(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
-            w: int, h: int):
-    """One damped GN iteration. Returns (new ba, diag dict)."""
-    pre = B.make_precalc(ba)
+            w: int, h: int, ev: B.PrecalcEval | None = None):
+    """One damped GN iteration. Returns (new ba, diag dict). `ev` is the
+    loop-invariant eval-point precalc (adjoints/FEJ transforms), computed
+    once per optimize() outside the while_loop."""
+    pre = B.make_precalc(ba, ev)
     q = _iter_quants(ba, pre, dI, settings, w, h)
 
     energy_th = q["upth"](ba, q["lin_for_th"], settings)
@@ -195,13 +197,17 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
         res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state)
     )
 
+    # adjoints/FEJ transforms are loop-invariant (T_cw_eval, state_zero,
+    # exposure don't change inside the loop): build once, reuse per step
+    ev = B.make_precalc_eval(ba)
+
     def cond(carry):
         ba_, it, canbreak, _ = carry
         return (it < max_its) & ~(canbreak & (it >= min_its))
 
     def body(carry):
         ba_, it, _, _ = carry
-        ba2, canbreak, energy = gn_step(ba_, dI, settings, w, h)
+        ba2, canbreak, energy = gn_step(ba_, dI, settings, w, h, ev=ev)
         return (ba2, it + 1, canbreak, energy)
 
     ba, n_its, _, energy = jax.lax.while_loop(
@@ -241,12 +247,12 @@ def optimize(ba: B.BAState, dI: jnp.ndarray, settings: Settings,
 
 
 def gn_step_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
-                w: int, h: int):
+                w: int, h: int, ev: B.PrecalcEval | None = None):
     """One VIO GN iteration: vision linearization + IMU Hessian + KKT solve
     (the imu_valid branch of solveSystemF)."""
     from sos_slam_tpu.models import imu as IM
 
-    pre = B.make_precalc(ba)
+    pre = B.make_precalc(ba, ev)
     q = _iter_quants(ba, pre, dI, settings, w, h)
     ba = ba._replace(energy_th=q["upth"](ba, q["lin_for_th"], settings))
 
@@ -303,13 +309,16 @@ def optimize_vio(ba: B.BAState, imu, dI: jnp.ndarray, settings: Settings,
     ba = ba._replace(
         res_state=jnp.where(ba.res_exist, B.RES_IN, ba.res_state))
 
+    ev = B.make_precalc_eval(ba)   # loop-invariant (see optimize)
+
     def cond(carry):
         _, _, it, canbreak, _ = carry
         return (it < max_its) & ~(canbreak & (it >= min_its))
 
     def body(carry):
         ba_, imu_, it, _, _ = carry
-        ba2, imu2, canbreak, energy = gn_step_vio(ba_, imu_, dI, settings, w, h)
+        ba2, imu2, canbreak, energy = gn_step_vio(ba_, imu_, dI, settings,
+                                                  w, h, ev=ev)
         return (ba2, imu2, it + 1, canbreak, energy)
 
     ba, imu, n_its, _, energy = jax.lax.while_loop(

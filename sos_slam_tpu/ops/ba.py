@@ -187,30 +187,35 @@ class Precalc(NamedTuple):
     adHTdelta: jnp.ndarray  # (F,F,8) per-pair FEJ delta (internal units)
 
 
-def make_precalc(ba: BAState) -> Precalc:
-    T_cw = state_to_pose(ba.T_cw_eval, ba.state)           # (F,4,4)
-    T_wc = lie.se3_inv(T_cw)
-    T_wc_eval = lie.se3_inv(ba.T_cw_eval)
+class PrecalcEval(NamedTuple):
+    """The FEJ-evaluation-point part of Precalc: constant across the GN
+    iterations of one optimize() call (depends only on T_cw_eval,
+    state_zero, exposure — none of which the while_loop changes), so the
+    loop body reuses it instead of rebuilding adjoints every iteration."""
 
+    R0: jnp.ndarray      # (F,F,3,3) FEJ rotation host->target
+    t0: jnp.ndarray      # (F,F,3)
+    b0: jnp.ndarray      # (F,) host zero-state aff b (real units)
+    adHost: jnp.ndarray  # (F,F,8,8) internal-unit adjoints
+    adTarget: jnp.ndarray
+
+
+def make_precalc_eval(ba: BAState) -> PrecalcEval:
+    """Adjoints + FEJ relative transforms (setAdjointsF,
+    EnergyFunctional.cpp:42-103)."""
+    T_wc_eval = lie.se3_inv(ba.T_cw_eval)
     # host->target relative transforms: T_th = T_wc[t] @ T_cw[h]
     rel0 = jnp.einsum("tij,hjk->htik", T_wc_eval, ba.T_cw_eval, precision=HIGH)
-    rel = jnp.einsum("tij,hjk->htik", T_wc, T_cw, precision=HIGH)
 
-    aff = aff_real(ba.state)            # (F,2) current
     aff0 = aff_real(ba.state_zero)      # (F,2) FEJ
-    affLL = aff_transfer(
-        ba.exposure[:, None], ba.exposure[None, :],
-        aff[:, None, :].repeat(ba.F, 1), aff[None, :, :].repeat(ba.F, 0),
-    )
     affLL0 = aff_transfer(
         ba.exposure[:, None], ba.exposure[None, :],
         aff0[:, None, :].repeat(ba.F, 1), aff0[None, :, :].repeat(ba.F, 0),
     )
 
-    # adjoints (setAdjointsF, EnergyFunctional.cpp:42-103): frame state is a
-    # left-eps on camToWorld at eval PT; d xi_rel/d eps_host =
-    # Adj(worldToTarget_eval), d/d eps_target = -Adj(worldToTarget_eval).
-    AdjT = lie.se3_adj(T_wc_eval)       # (F,3...) -> (F,6,6) of worldToTarget
+    # frame state is a left-eps on camToWorld at eval PT; d xi_rel/d
+    # eps_host = Adj(worldToTarget_eval), d/d eps_target = -same.
+    AdjT = lie.se3_adj(T_wc_eval)       # (F,6,6) of worldToTarget
     adj_ht = jnp.broadcast_to(AdjT[None, :, :, :], (ba.F, ba.F, 6, 6))
 
     AH = jnp.zeros((ba.F, ba.F, 8, 8), jnp.float32)
@@ -227,20 +232,37 @@ def make_precalc(ba: BAState) -> Precalc:
     # internal-unit column scaling (state internal -> real eps)
     AH = AH * STATE8_SCALE[None, None, None, :]
     AT = AT * STATE8_SCALE[None, None, None, :]
+    return PrecalcEval(R0=rel0[..., :3, :3], t0=rel0[..., :3, 3],
+                       b0=aff0[:, 1], adHost=AH, adTarget=AT)
 
-    # per-pair delta (setDeltaF): dp = AH^T-free forward map of host/target
-    # internal deltas into relative-state space.
+
+def make_precalc(ba: BAState, ev: PrecalcEval | None = None) -> Precalc:
+    """Current-state transforms + the (loop-reusable) eval-point part."""
+    if ev is None:
+        ev = make_precalc_eval(ba)
+    T_cw = state_to_pose(ba.T_cw_eval, ba.state)           # (F,4,4)
+    T_wc = lie.se3_inv(T_cw)
+    rel = jnp.einsum("tij,hjk->htik", T_wc, T_cw, precision=HIGH)
+
+    aff = aff_real(ba.state)            # (F,2) current
+    affLL = aff_transfer(
+        ba.exposure[:, None], ba.exposure[None, :],
+        aff[:, None, :].repeat(ba.F, 1), aff[None, :, :].repeat(ba.F, 0),
+    )
+
+    # per-pair delta (setDeltaF): dp = forward map of host/target internal
+    # deltas into relative-state space.
     delta = ba.state - ba.state_zero     # (F,8) internal
     adHTdelta = (
-        jnp.einsum("htij,hj->hti", AH, delta, precision=HIGH)
-        + jnp.einsum("htij,tj->hti", AT, delta, precision=HIGH)
+        jnp.einsum("htij,hj->hti", ev.adHost, delta, precision=HIGH)
+        + jnp.einsum("htij,tj->hti", ev.adTarget, delta, precision=HIGH)
     )
 
     return Precalc(
-        R0=rel0[..., :3, :3], t0=rel0[..., :3, 3],
+        R0=ev.R0, t0=ev.t0,
         R=rel[..., :3, :3], t=rel[..., :3, 3],
-        affLL=affLL, b0=aff0[:, 1],
-        adHost=AH, adTarget=AT, adHTdelta=adHTdelta,
+        affLL=affLL, b0=ev.b0,
+        adHost=ev.adHost, adTarget=ev.adTarget, adHTdelta=adHTdelta,
     )
 
 
