@@ -74,6 +74,9 @@ class FullSystem:
         self.n_levels = calib.levels
         self.w = calib.widths[0]
         self.h = calib.heights[0]
+        # per-level intrinsics tuple, cached (it is a static jit arg built
+        # on every dispatch otherwise)
+        self._intr = tuple(calib.intrinsics(l) for l in range(self.n_levels))
         F = settings.max_window_frames
         P = settings.max_points
         self.F, self.P = F, P
@@ -374,7 +377,7 @@ class FullSystem:
     def _dispatch_fused_inner(self, image, shell, exposure, chain=None,
                               stereo_right=None):
         s = self.settings
-        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        intr = self._intr
         pot = getattr(self, "_sel_pot", 3)
         n_slots = min(s.max_immature, self.imm.u.shape[0])
 
@@ -964,7 +967,7 @@ class FullSystem:
         """Dispatch the fused frame step from host-computed inputs (the
         classic path) and start its readback transfers. Returns the
         pending record consumed by _process_frame_step."""
-        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        intr = self._intr
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
 
         # host inputs (numpy throughout — eager device ops block on the
@@ -1021,7 +1024,7 @@ class FullSystem:
         shell = p["shell"]
         exposure = p["exposure"]
         pyr = p["pyr"]
-        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        intr = self._intr
         ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
         exposures = np.array([self.ref_exposure, exposure], np.float32)
 
@@ -1774,7 +1777,7 @@ class FullSystem:
         # its ladder moves to it (a rung outside = multi-minute compile)
         self._prewarmed_pots = {selector._snap_pot(p) for p in pots}
         s = self.settings
-        intr = tuple(self.calib.intrinsics(l) for l in range(self.n_levels))
+        intr = self._intr
         pyr = self.frame_pyramids[self.ref_slot]
         if pyr is None:
             return

@@ -56,12 +56,21 @@ def build_track_template(
     'imitated lidar' extraction (CoarseTracker.cpp:76).
     """
     newest = jnp.sum(ba.frame_valid) - 1
-    pre = B.make_precalc(ba)
     fx, fy, cx, cy = B.calib_real(ba)
 
-    # project point centers into the newest frame at current state
-    Rc = pre.R[ba.host, newest]     # (P,3,3)
-    tc = pre.t[ba.host, newest]
+    # host->newest relative transforms, directly: the full make_precalc
+    # (F^2 pairs + adjoints) costs ~1.9 ms on the v5e and everything but
+    # the newest column would be discarded here
+    from sos_slam_tpu.utils import lie as _lie
+    T_cw = B.state_to_pose(ba.T_cw_eval, ba.state)        # (F,4,4)
+    T_wc_new = _lie.se3_inv(T_cw[newest])                 # (4,4)
+    rel = jnp.einsum("ij,hjk->hik", T_wc_new, T_cw,
+                     precision=jax.lax.Precision.HIGHEST)  # (F,4,4)
+    onehot = jax.nn.one_hot(ba.host, ba.F, dtype=jnp.float32)
+    relp = jnp.einsum("ph,hxy->pxy", onehot, rel,
+                      precision=jax.lax.Precision.HIGHEST)
+    Rc = relp[:, :3, :3]            # (P,3,3)
+    tc = relp[:, :3, 3]
     KliP = jnp.stack([(ba.u - cx) / fx, (ba.v - cy) / fy, jnp.ones_like(ba.u)],
                      -1)
     ptp = jnp.einsum("pij,pj->pi", Rc, KliP) + tc * ba.idepth[:, None]

@@ -486,6 +486,107 @@ def fused_iteration(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
                     active=active)
 
 
+# ----------------------------------------------------------------------
+# activation-GN pass reduce (optimizeImmaturePoint inner loop,
+# src/FullSystem/ImmaturePoint.cpp linearizeResidual): fuses the
+# post-gather residual/Huber/energy/d_id math + live-masked reductions of
+# one 1-DoF GN pass into one kernel. The projection + tap gather stay in
+# XLA (same reasoning as fused_iteration).
+# ----------------------------------------------------------------------
+
+
+def _act_kernel(F: int, TN: int, clamp: bool, huber_th: float):
+    def kernel(big_ref, colw_ref, ap_ref, oob_ref, eth_ref,
+               eres_ref, oob_o_ref, srows_ref):
+        dat = big_ref[:].reshape(F, 8, 6, TN)
+        hi, gx, gy = dat[:, :, 0], dat[:, :, 1], dat[:, :, 2]
+        a, b, okf = dat[:, :, 3], dat[:, :, 4], dat[:, :, 5]
+        colw = colw_ref[:]
+        color, w2 = colw[:8], colw[8:]                # (8,TN); w2 = weights^2
+        ap = ap_ref[:].reshape(F, 2, TN)
+        oob_in = oob_ref[:]                            # (F,TN) f32
+        eth = eth_ref[:]                               # (1,TN)
+
+        r = hi - (ap[:, 0:1] * color[None] + ap[:, 1:2])
+        ar = jnp.abs(r)
+        hw = jnp.where(ar < huber_th, 1.0,
+                       huber_th / jnp.maximum(ar, 1e-9))
+        e_res = jnp.sum(w2[None] * hw * r * r * (2.0 - hw), 1)   # (F,TN)
+        d_id = gx * a + gy * b
+        hww = hw * w2[None]
+        Hdd = jnp.sum(hww * d_id * d_id, 1)
+        bd = jnp.sum(hww * r * d_id, 1)
+
+        allok = jnp.min(okf, 1)                        # (F,TN)
+        oob_out = jnp.maximum(oob_in, (allok < 0.5).astype(jnp.float32))
+        live = oob_out < 0.5
+        ec = jnp.minimum(e_res, eth) if clamp else e_res
+        eres_ref[:] = e_res
+        oob_o_ref[:] = oob_out
+        # where (not multiply): dead rows can hold NaN taps — 0*NaN = NaN
+        srows_ref[:] = jnp.stack([
+            jnp.sum(jnp.where(live, ec, 0.0), 0),
+            jnp.sum(jnp.where(live, Hdd, 0.0), 0),
+            jnp.sum(jnp.where(live, bd, 0.0), 0)])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("clamp", "huber_th",
+                                             "interpret"))
+def act_pass(hit: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+             okf: jnp.ndarray, color: jnp.ndarray, weights2: jnp.ndarray,
+             ap: jnp.ndarray, oob_in: jnp.ndarray, energy_th: jnp.ndarray,
+             clamp: bool, huber_th: float, interpret: bool = False):
+    """One activation-GN pass reduce.
+
+    hit (N,F,8,3) gathered taps; a/b (N,F,8) the d_id chain-rule factors
+    (fx*drescale*(t0 - t2*u), fy*drescale*(t1 - t2*v)); okf (N,F,8) f32
+    projection+finite mask; color (N,8); weights2 (N,8) squared pattern
+    weights; ap (N,F,2) affine transfer; oob_in (N,F) f32; energy_th (N,).
+
+    Returns (e_res (N,F) unclamped, oob_out (N,F) f32, eN, HN, bN (N,))
+    with eN/HN/bN live-masked sums over frames (eN clamped at energy_th
+    when clamp=True — gn_body's outlierTHSlack=1 branch)."""
+    N, F = hit.shape[0], hit.shape[1]
+    if not interpret:
+        try:
+            if pltpu is None or jax.default_backend() not in ("tpu", "axon"):
+                interpret = True
+        except Exception:  # pragma: no cover
+            interpret = True
+    TN = N if interpret else min(N, 512)
+    if N % TN != 0:
+        raise ValueError(f"N={N} not divisible by tile {TN}")
+
+    big = jnp.stack([hit[..., 0], hit[..., 1], hit[..., 2], a, b, okf], -1)
+    bigT = jnp.transpose(big, (1, 2, 3, 0)).reshape(F * 48, N)
+    colw = jnp.concatenate([color.T, weights2.T], 0)          # (16,N)
+    apT = jnp.transpose(ap, (1, 2, 0)).reshape(F * 2, N)
+    oobT = oob_in.T                                           # (F,N)
+    ethT = energy_th[None, :]                                 # (1,N)
+
+    mem = {} if (interpret or _VMEM is None) else dict(memory_space=_VMEM)
+
+    def tiled(rows):
+        return pl.BlockSpec((rows, TN), lambda i: (0, i), **mem)
+
+    eres, oob_o, srows = pl.pallas_call(
+        _act_kernel(F, TN, clamp, float(huber_th)),
+        grid=(N // TN,),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, N), jnp.float32),
+            jax.ShapeDtypeStruct((F, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, N), jnp.float32),
+        ),
+        in_specs=[tiled(F * 48), tiled(16), tiled(F * 2), tiled(F),
+                  tiled(1)],
+        out_specs=(tiled(F), tiled(F), tiled(3)),
+        interpret=interpret,
+    )(bigT, colw, apT, oobT, ethT)
+    return eres.T, oob_o.T, srows[0], srows[1], srows[2]
+
+
 def _take_taps(dI: jnp.ndarray, Kup: jnp.ndarray, Kvp: jnp.ndarray
                ) -> jnp.ndarray:
     """The fused 4-corner bilinear take over the flattened (F*H*W, C)

@@ -402,8 +402,16 @@ def activate_points(
         -1,
     )  # (N,8,3)
 
-    def linearize_idepth(idepth, oob_in):
-        """Returns (energy (N,), Hdd (N,), bd (N,), new_oob (N,F), in_mask)."""
+    from sos_slam_tpu.ops import ba_p as BP
+    fused = BP.enabled()
+
+    def linearize_pass(idepth, oob_in, clamp: bool):
+        """One GN pass: projection + tap gather (XLA) + residual/Huber/
+        d_id math and live-masked frame reductions (Pallas kernel when
+        enabled — ba_p.act_pass; same algebra either way).
+
+        Returns (e_res (N,F) unclamped, oob (N,F), eN, HN, bN (N,)) with
+        eN clamped at energy_th when clamp=True (outlierTHSlack=1)."""
         ptp = (
             jnp.einsum("nfij,nkj->nfki", Rp, KliP)
             + tp[:, :, None, :] * idepth[:, None, None, None]
@@ -419,7 +427,18 @@ def activate_points(
         # ~350x slower batched gather on TPU — scripts/probe_lin_gather.py)
         hit = interp_bilinear_frames(dI, Ku, Kv)
         ok &= jnp.isfinite(hit[..., 0])
-        oob = oob_in | ~jnp.all(ok, -1)     # any bad pattern pixel -> res OOB
+
+        if fused:
+            a = fx * drescale * (tp[..., 0:1] - tp[..., 2:3] * uu)
+            b = fy * drescale * (tp[..., 1:2] - tp[..., 2:3] * vv)
+            e_res, oobf, eN, HN, bN = BP.act_pass(
+                hit, a, b, ok.astype(jnp.float32), imm.color,
+                imm.weights ** 2, ap, oob_in.astype(jnp.float32),
+                imm.energy_th, clamp=clamp,
+                huber_th=float(settings.huber_th))
+            return e_res, oobf > 0.5, eN, HN, bN
+
+        oob = oob_in | ~jnp.all(ok, -1)     # any bad pattern pixel -> OOB
 
         r = hit[..., 0] - (ap[..., 0:1] * imm.color[:, None, :] + ap[..., 1:2])
         ar = jnp.abs(r)
@@ -436,30 +455,24 @@ def activate_points(
         Hdd_res = jnp.sum(hw_w * d_id * d_id, -1)
         bd_res = jnp.sum(hw_w * r * d_id, -1)
 
-        # outlier clamp per residual (no slack here: slack applied by caller)
-        return e_res, Hdd_res, bd_res, oob
+        live = ~oob
+        ec = jnp.minimum(e_res, imm.energy_th[:, None]) if clamp else e_res
+        eN = jnp.sum(jnp.where(live, ec, 0.0), -1)
+        HN = jnp.sum(jnp.where(live, Hdd_res, 0.0), -1)
+        bN = jnp.sum(jnp.where(live, bd_res, 0.0), -1)
+        return e_res, oob, eN, HN, bN
 
     idepth0 = 0.5 * (imm.idepth_min + imm.idepth_max)
     idepth0 = jnp.where(jnp.isfinite(idepth0), idepth0, 0.5)
 
     # first linearization with outlierTHSlack = 1000 (never clamps)
-    e0, H0, b0, oob = linearize_idepth(idepth0, ~res_ok0)
-    live = ~oob
-    Hdd = jnp.sum(jnp.where(live, H0, 0.0), -1)
-    bd = jnp.sum(jnp.where(live, b0, 0.0), -1)
-    energy = jnp.sum(jnp.where(live, e0, 0.0), -1)
+    e0, oob, energy, Hdd, bd = linearize_pass(idepth0, ~res_ok0, clamp=False)
 
     def gn_body(it, carry):
         idp, Hdd, bd, energy, oob, e_res, lam = carry
         step = bd / (Hdd * (1.0 + lam))
         new_idp = idp - step
-        e1, H1, b1, oob1 = linearize_idepth(new_idp, oob)
-        live1 = ~oob1
-        # clamp each residual at energy_th (outlierTHSlack = 1)
-        e1c = jnp.minimum(e1, imm.energy_th[:, None])
-        eN = jnp.sum(jnp.where(live1, e1c, 0.0), -1)
-        HN = jnp.sum(jnp.where(live1, H1, 0.0), -1)
-        bN = jnp.sum(jnp.where(live1, b1, 0.0), -1)
+        e1, oob1, eN, HN, bN = linearize_pass(new_idp, oob, clamp=True)
         accept = eN < energy
         idp2 = jnp.where(accept, new_idp, idp)
         lam2 = jnp.where(accept, lam * 0.5, lam * 5.0)

@@ -144,6 +144,44 @@ class TestFusedGnParity:
         _close(step0, step1, tol=5e-3)
 
 
+def test_activation_fused_matches(monkeypatch):
+    """activate_points through the Pallas act_pass kernel (interpret)
+    matches the XLA path: same accepted set, same depths."""
+    from sos_slam_tpu.ops import image as imops
+    from sos_slam_tpu.ops import trace as T
+    from sos_slam_tpu.utils import lie, synthetic
+    from tests.test_trace import setup_scene, make_points, W as TW, H as TH
+
+    calib, dI_ref, dI_new, idepth_ref, KRKi, Kt = setup_scene()
+    imm = make_points(calib, dI_ref)
+    imm = T.trace_points(imm, dI_new, KRKi[None], Kt[None],
+                         jnp.array([[1.0, 0.0]]), TW, TH, SETTINGS)
+    F = 2
+    dI = jnp.stack([dI_ref, dI_new])
+    T_new = lie.se3_exp(jnp.array([0.06, 0, 0, 0, 0, 0], jnp.float32))
+    rel = jnp.zeros((F, F, 4, 4))
+    rel = rel.at[0, 1].set(lie.se3_inv(T_new))
+    rel = rel.at[0, 0].set(jnp.eye(4))
+    rel = rel.at[1, 1].set(jnp.eye(4))
+    rel = rel.at[1, 0].set(T_new)
+    affLL = jnp.broadcast_to(jnp.array([1.0, 0.0]), (F, F, 2))
+    cand = imm.valid & (imm.status == T.IPS_GOOD)
+    args = (imm, cand, dI, rel[..., :3, :3], rel[..., :3, 3], affLL,
+            jnp.array([True, True]), calib.intrinsics(0), TW, TH, SETTINGS)
+
+    T.activate_points.clear_cache()
+    monkeypatch.setenv("SOS_SLAM_BA_P", "0")
+    id0, ok0, ri0 = jax.tree.map(np.asarray, T.activate_points(*args))
+    T.activate_points.clear_cache()
+    monkeypatch.setenv("SOS_SLAM_BA_P", "1")
+    id1, ok1, ri1 = jax.tree.map(np.asarray, T.activate_points(*args))
+    T.activate_points.clear_cache()
+
+    np.testing.assert_array_equal(ok0, ok1)
+    np.testing.assert_array_equal(ri0, ri1)
+    np.testing.assert_allclose(id0[ok0], id1[ok1], rtol=1e-4, atol=1e-5)
+
+
 def test_optimize_e2e_matches(monkeypatch):
     """Full windowed BA through the fused path (interpret on CPU) lands on
     the same optimum as the einsum path. Small f32 summation-order
