@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from sos_slam_tpu.ops import ba as B
 from sos_slam_tpu.ops import selector
-from sos_slam_tpu.ops.image import downsample2x
 from sos_slam_tpu.ops.tracker import LevelTemplate
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS
 
@@ -86,13 +85,16 @@ def build_track_template(
     vi = jnp.clip((Kv + 0.5).astype(jnp.int32), 0, h - 1)
     wgt = jnp.sqrt(1e-3 / (HdiF + 1e-12)) * ok
 
-    id_map = jnp.zeros((h, w)).at[vi, ui].add(new_idepth * wgt)
-    w_map = jnp.zeros((h, w)).at[vi, ui].add(wgt)
-
-    id_maps, w_maps = [id_map], [w_map]
-    for lvl in range(1, n_levels):
-        id_maps.append(downsample2x(id_maps[-1]) * 4.0)
-        w_maps.append(downsample2x(w_maps[-1]) * 4.0)
+    # per-level maps by scattering the SAME level-0 cells with floor-div
+    # coordinates: the 2x box downsample (*4, i.e. a plain 2x2 block sum)
+    # of a scatter-add map is EXACTLY the scatter-add at ui>>1 — six tiny
+    # (P,) scatters replace a chain of ten full-map convolutions
+    id_maps, w_maps = [], []
+    for lvl in range(n_levels):
+        hl, wl = h >> lvl, w >> lvl
+        ul, vl = ui >> lvl, vi >> lvl
+        id_maps.append(jnp.zeros((hl, wl)).at[vl, ul].add(new_idepth * wgt))
+        w_maps.append(jnp.zeros((hl, wl)).at[vl, ul].add(wgt))
 
     def dilate(idm, wm, diag: bool):
         rolls = [(0, 1), (0, -1), (1, 0), (-1, 0)] if not diag else \
@@ -113,19 +115,28 @@ def build_track_template(
         wm2 = jnp.where(fill, c / jnp.maximum(n, 1), wm)
         return idm2, wm2
 
+    from sos_slam_tpu.ops import pallas_kernels as PK
+    use_pallas = PK.pallas_enabled()
+
     templates = []
     pc_l0 = None
     for lvl in range(n_levels):
         idm, wm = id_maps[lvl], w_maps[lvl]
-        idm, wm = dilate(idm, wm, diag=(lvl < 2))
-        hl, wl = idm.shape
-        yi = jnp.arange(hl)
-        xi = jnp.arange(wl)
-        border = ((xi >= 2) & (xi < wl - 2))[None, :] & \
-                 ((yi >= 2) & (yi < hl - 2))[:, None]
-        idn = jnp.where(wm > 0, idm / jnp.maximum(wm, 1e-12), -1.0)
         color = pyr_ref[lvl][..., 0]
-        good = border & (idn > 0) & jnp.isfinite(color)
+        hl, wl = idm.shape
+        if use_pallas:
+            # fused dilate+normalize+good in one VMEM pass (identical on
+            # every in-border pixel; only the masked 2-px border differs
+            # from the roll-based form)
+            idn, good = PK.template_level(idm, wm, color, diag=(lvl < 2))
+        else:
+            idm, wm = dilate(idm, wm, diag=(lvl < 2))
+            yi = jnp.arange(hl)
+            xi = jnp.arange(wl)
+            border = ((xi >= 2) & (xi < wl - 2))[None, :] & \
+                     ((yi >= 2) & (yi < hl - 2))[:, None]
+            idn = jnp.where(wm > 0, idm / jnp.maximum(wm, 1e-12), -1.0)
+            good = border & (idn > 0) & jnp.isfinite(color)
 
         flat_good = good.reshape(-1)
         idx, sel_ok = selector.compact_mask_indices(flat_good, sizes[lvl])

@@ -115,6 +115,77 @@ def fused_pyramid_level(img: jnp.ndarray, interpret: bool = False
     return jnp.stack([img, dx, dy], axis=-1), asg, down
 
 
+def _shift2(a, dy: int, dx: int):
+    """Zero-padded 2-D shift (the dilation neighbors; border semantics are
+    irrelevant — the template extraction masks a 2-px border)."""
+    h, w = a.shape
+    if dy > 0:
+        a = jnp.concatenate([a[dy:], jnp.zeros((dy, w), a.dtype)], 0)
+    elif dy < 0:
+        a = jnp.concatenate([jnp.zeros((-dy, w), a.dtype), a[:dy]], 0)
+    if dx > 0:
+        a = jnp.concatenate([a[:, dx:], jnp.zeros((h, dx), a.dtype)], 1)
+    elif dx < 0:
+        a = jnp.concatenate([jnp.zeros((h, -dx), a.dtype), a[:, :dx]], 1)
+    return a
+
+
+def _template_level_kernel(diag: bool):
+    """Fused makeCoarseDepthL0 per-level tail (CoarseTracker.cpp:100-230):
+    one-pass dilation of the scattered idepth/weight maps + normalization
+    + the good-pixel mask, in one VMEM pass instead of ~15 full-map XLA
+    ops per level."""
+    rolls = [(1, 1), (-1, -1), (1, -1), (-1, 1)] if diag else \
+            [(0, 1), (0, -1), (1, 0), (-1, 0)]
+
+    def kernel(idm_ref, wm_ref, color_ref, idn_ref, good_ref):
+        idm, wm, color = idm_ref[:], wm_ref[:], color_ref[:]
+        h, w = idm.shape
+        s = jnp.zeros_like(idm)
+        c = jnp.zeros_like(wm)
+        n = jnp.zeros_like(wm)
+        for dy, dx in rolls:
+            wn = _shift2(wm, dy, dx)
+            idn_ = _shift2(idm, dy, dx)
+            has = wn > 0
+            s = s + jnp.where(has, idn_, 0.0)
+            c = c + jnp.where(has, wn, 0.0)
+            n = n + has
+        empty = wm <= 0
+        fill = empty & (n > 0)
+        idm2 = jnp.where(fill, s / jnp.maximum(n, 1), idm)
+        wm2 = jnp.where(fill, c / jnp.maximum(n, 1), wm)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        border = (col >= 2) & (col < w - 2) & (row >= 2) & (row < h - 2)
+        idn = jnp.where(wm2 > 0, idm2 / jnp.maximum(wm2, 1e-12), -1.0)
+        good = border & (idn > 0) & jnp.isfinite(color)
+        idn_ref[:] = idn
+        good_ref[:] = good.astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("diag", "interpret"))
+def template_level(idm: jnp.ndarray, wm: jnp.ndarray, color: jnp.ndarray,
+                   diag: bool, interpret: bool = False):
+    """(id_map, w_map, color) -> (idn, good) for one template level."""
+    mem = {} if (interpret or _VMEM is None) else dict(memory_space=_VMEM)
+    idn, good = pl.pallas_call(
+        _template_level_kernel(diag),
+        out_shape=(
+            jax.ShapeDtypeStruct(idm.shape, jnp.float32),
+            jax.ShapeDtypeStruct(idm.shape, jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(**mem), pl.BlockSpec(**mem),
+                  pl.BlockSpec(**mem)],
+        out_specs=(pl.BlockSpec(**mem), pl.BlockSpec(**mem)),
+        interpret=interpret,
+    )(idm, wm, color)
+    return idn, good > 0.5
+
+
 def build_pyramid_pallas(image: jnp.ndarray, n_levels: int,
                          interpret: bool = False):
     """Drop-in for ops.image.build_pyramid using the fused kernel."""
