@@ -500,12 +500,11 @@ def linearize_energy_col(ba: BAState, pre: Precalc, dI: jnp.ndarray,
     dx = jnp.clip(Kup - x0, 0.0, 1.0)[..., None]
     dy = jnp.clip(Kvp - y0, 0.0, 1.0)[..., None]
     idx = row.astype(jnp.int32) * (H * W) + y0 * W + x0
-    tl = jnp.take(flat, idx, axis=0)
-    tr = jnp.take(flat, idx + 1, axis=0)
-    bl = jnp.take(flat, idx + W, axis=0)
-    br = jnp.take(flat, idx + W + 1, axis=0)
-    hit = (tl * (1 - dx) * (1 - dy) + tr * dx * (1 - dy)
-           + bl * (1 - dx) * dy + br * dx * dy)      # (P,8,3)
+    # one stacked-corner take (see image.interp_bilinear_frames)
+    idx4 = jnp.stack([idx, idx + 1, idx + W, idx + W + 1], 0)
+    cn = jnp.take(flat, idx4, axis=0)
+    hit = (cn[0] * (1 - dx) * (1 - dy) + cn[1] * dx * (1 - dy)
+           + cn[2] * (1 - dx) * dy + cn[3] * dx * dy)   # (P,8,3)
     hit_ok = jnp.isfinite(hit[..., 0])
     ok = geo_ok[:, None] & pat_ok & hit_ok
     oob = ~jnp.all(ok, -1)

@@ -600,9 +600,8 @@ def _take_taps(dI: jnp.ndarray, Kup: jnp.ndarray, Kvp: jnp.ndarray
     dy = jnp.clip(Kvp - y0, 0.0, 1.0)[..., None]
     fofs = (jnp.arange(F, dtype=jnp.int32) * (H * W))[None, :, None]
     idx = fofs + y0 * W + x0
-    tl = jnp.take(flat, idx, axis=0)
-    tr = jnp.take(flat, idx + 1, axis=0)
-    bl = jnp.take(flat, idx + W, axis=0)
-    br = jnp.take(flat, idx + W + 1, axis=0)
-    return (tl * (1 - dx) * (1 - dy) + tr * dx * (1 - dy)
-            + bl * (1 - dx) * dy + br * dx * dy)
+    # one stacked-corner take (see image.interp_bilinear_frames)
+    idx4 = jnp.stack([idx, idx + 1, idx + W, idx + W + 1], 0)
+    c = jnp.take(flat, idx4, axis=0)
+    return (c[0] * (1 - dx) * (1 - dy) + c[1] * dx * (1 - dy)
+            + c[2] * (1 - dx) * dy + c[3] * dx * dy)
