@@ -142,7 +142,7 @@ class FullSystem:
         self.tmpl_sizes = tuple(tmpl_sizes)
         self.templates = None
         self.ref_slot = -1          # window slot of the tracking reference
-        self.ref_aff = jnp.zeros(2)
+        self.ref_aff = np.zeros(2, np.float32)
         self.ref_exposure = 1.0
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = np.full(6, 100.0)
@@ -425,7 +425,7 @@ class FullSystem:
                             * s.re_track_threshold)
             ref_shell = self.shells[self.frame_shell_idx[self.ref_slot]]
             T_ref = np.asarray(ref_shell.cam_to_world, np.float32)
-            ref_aff = jnp.asarray(self.ref_aff, jnp.float32)
+            ref_aff = self.ref_aff   # numpy; jit transfers it
             ref_exp = np.float32(self.ref_exposure)
             T_prev = np.asarray(
                 prev_sh.cam_to_world if prev_sh is not None
@@ -646,7 +646,9 @@ class FullSystem:
             self.shells[sh_idx].cam_to_world = T_cw[i]
             self.shells[sh_idx].aff = affs[i]
         self.ref_slot = len(self.frame_shell_idx) - 1
-        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        # numpy storage: an eager jnp.asarray here is a ~8 ms tunnel
+        # device_put per keyframe; numpy rides the next jit call's batch
+        self.ref_aff = np.asarray(shell.aff, np.float32)
         self.ref_exposure = exposure
         if s.enable_scale_opt and scale_o is not None:
             s_val, trapped_v, fails_v, err_v = scale_o
@@ -1257,7 +1259,9 @@ class FullSystem:
             self.shells[sh_idx].aff = affs[i]
 
         self.ref_slot = len(self.frame_shell_idx) - 1
-        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        # numpy storage: an eager jnp.asarray here is a ~8 ms tunnel
+        # device_put per keyframe; numpy rides the next jit call's batch
+        self.ref_aff = np.asarray(shell.aff, np.float32)
         self.ref_exposure = exposure
 
         # stereo scale optimization (optimizeScale, FullSystem.cpp:1117-1180)
@@ -1372,7 +1376,9 @@ class FullSystem:
             self.shells[sh_idx].cam_to_world = T_cw[i]
             self.shells[sh_idx].aff = affs[i]
         self.ref_slot = len(self.frame_shell_idx) - 1
-        self.ref_aff = jnp.asarray(shell.aff, jnp.float32)
+        # numpy storage: an eager jnp.asarray here is a ~8 ms tunnel
+        # device_put per keyframe; numpy rides the next jit call's batch
+        self.ref_aff = np.asarray(shell.aff, np.float32)
         self.ref_exposure = exposure
 
         # stereo scale optimization (optimizeScale, FullSystem.cpp:1117-1180)
