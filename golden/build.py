@@ -55,6 +55,39 @@ HARNESSES = {
         f"{SRC}/util/globalCalib.cpp",
         f"{SRC}/IOWrapper/ImageDisplay_dummy.cpp",
     ],
+    "trace": [
+        "harness_trace.cpp",
+        f"{SRC}/FullSystem/ImmaturePoint.cpp",
+        f"{SRC}/FullSystem/HessianBlocks.cpp",
+        f"{SRC}/util/settings.cpp",
+        f"{SRC}/util/globalCalib.cpp",
+    ],
+    "residual": [
+        "harness_residual.cpp",
+        f"{SRC}/FullSystem/Residuals.cpp",
+        f"{SRC}/FullSystem/ImmaturePoint.cpp",
+        f"{SRC}/FullSystem/HessianBlocks.cpp",
+        f"{SRC}/OptimizationBackend/EnergyFunctional.cpp",
+        f"{SRC}/OptimizationBackend/EnergyFunctionalStructs.cpp",
+        f"{SRC}/OptimizationBackend/AccumulatedTopHessian.cpp",
+        f"{SRC}/OptimizationBackend/AccumulatedSCHessian.cpp",
+        f"{SRC}/util/settings.cpp",
+        f"{SRC}/util/globalCalib.cpp",
+        f"{SRC}/IOWrapper/ImageDisplay_dummy.cpp",
+    ],
+    "scancontext": [
+        "harness_scancontext.cpp",
+        f"{SRC}/LoopClosure/ScanContext.cpp",
+        f"{SRC}/util/settings.cpp",
+    ],
+}
+
+# per-harness extra compile flags. scancontext: the reference stores Vec6d
+# in a plain unordered_map (no aligned_allocator, ScanContext.h:65) — legal
+# in its own NDEBUG Release build; additionally disable Eigen alignment so
+# the debug-assert path cannot trip on the 8-byte-offset pair layout.
+EXTRA_FLAGS = {
+    "scancontext": ["-DNDEBUG", "-DEIGEN_MAX_ALIGN_BYTES=0"],
 }
 
 
@@ -73,14 +106,17 @@ def build(name: str) -> str:
         return out
     os.makedirs(BUILD, exist_ok=True)
     cmd = [
-        "g++", "-O2", "-std=c++14", "-w",
+        "g++", "-O2", "-std=c++14", "-w", "-pthread", "-msse4.2",
         # drop unused reference functions so their (unlinked) callees —
         # ImmaturePoint, EF structs, ... — never become link errors
         "-ffunction-sections", "-fdata-sections",
+        # stubs FIRST so LoopClosure/LoopHandler.h + boost/flann/g2o resolve
+        # to the ROS-free shims instead of the real headers
+        f"-I{os.path.join(GOLDEN, 'stubs')}",
         f"-I{_eigen_include()}",
         f"-I{REF}/thirdparty/Sophus",
         f"-I{SRC}",
-        f"-I{os.path.join(GOLDEN, 'stubs')}",   # empty boost/bind.hpp
+        *EXTRA_FLAGS.get(name, []),
         *srcs,
         "-Wl,--gc-sections", "-o", f"{out}.tmp.{os.getpid()}",
     ]

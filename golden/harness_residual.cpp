@@ -1,0 +1,231 @@
+// Golden-value harness: the reference BA core —
+// PointFrameResidual::linearize (Residuals.cpp:77-271), the stitched
+// top/Schur Hessians (AccumulatedTopHessian.cpp:35-301,
+// AccumulatedSCHessian.cpp:32-79) and the vision-only solve path
+// (EnergyFunctional::solveSystemF, EnergyFunctional.cpp:1029-1184) — vs
+// sos_slam_tpu/ops/ba.py (linearize / accumulate_top / accumulate_schur /
+// solve_system / resubstitute) and ops/ba_p.py (fused iteration).
+//
+// A 3-frame window over the shared deterministic integer texture (shifted
+// copies ⇒ consistent fronto-parallel scene at ID ≈ 0.5 plus a tiny rotation
+// to keep every Jacobian path generic), ~60 points hosted in all three
+// frames, residuals in every direction, nonzero FEJ deltas on pose, affine
+// and idepth. Prints every RawResidualJacobian, the stitched H/b (active +
+// Schur), the solve step x, and per-point idepth steps.
+// expose the accumulate/solve internals for golden readout (the selector
+// harness uses the same trick for PixelSelector2.h); all std/Eigen/boost
+// headers must be fully included BEFORE the access hack
+#include "util/IndexThreadReduce.h"
+#include <map>
+#include <vector>
+#define private public
+#include "OptimizationBackend/EnergyFunctional.h"
+#undef private
+#include "FullSystem/FullSystem.h"
+#include "FullSystem/ImmaturePoint.h"
+#include "FullSystem/Residuals.h"
+#include "util/FrameShell.h"
+#include "util/globalCalib.h"
+#include "util/settings.h"
+#include <cmath>
+#include <cstdio>
+#include <vector>
+
+using namespace dso;
+
+int dso::FrameHessian::instanceCounter = 0;
+int dso::CalibHessian::instanceCounter = 0;
+int dso::PointHessian::instanceCounter = 0;
+
+static const int W = 256, H = 192;
+static const float FX = 200.f, FY = 200.f, CX = 128.f, CY = 96.f;
+static const float ID_TRUE = 0.5f;
+
+// smooth value-noise texture: every operation is exact in f32 (integer
+// lattice values < 61, dyadic 1/8-step interpolation weights), so numpy
+// reproduces it bitwise
+static float lattice(int a, int b) {
+  return (float)(int)(((unsigned)(a * 73856093) ^ (unsigned)(b * 19349663)) %
+                      61u);
+}
+static float tex(int x, int y) {
+  int x0 = x >> 3, y0 = y >> 3;
+  float fx = (float)(x & 7) * 0.125f, fy = (float)(y & 7) * 0.125f;
+  float v00 = lattice(x0, y0), v10 = lattice(x0 + 1, y0);
+  float v01 = lattice(x0, y0 + 1), v11 = lattice(x0 + 1, y0 + 1);
+  float a = v00 + (v10 - v00) * fx;
+  float b = v01 + (v11 - v01) * fx;
+  int ramp = (x * 7 + y * 13) % 97;
+  if (ramp < 0) ramp += 97;
+  return 0.5f * (float)ramp + (a + (b - a) * fy) + 30.0f;
+}
+
+// frame-i texture shift: the scene plane at idepth ID_TRUE seen from a
+// camera at camToWorld translation x = D/(FX*ID_TRUE)
+static const int DS[3] = {0, 4, 7};
+static const double EXPOSURES[3] = {1.0, 1.1, 0.9};
+
+static FrameHessian *make_frame(int i, CalibHessian *hcalib) {
+  // image = irradiance × exposure (so the exposure part of the affine
+  // transfer is physically consistent); ×e_i is one exact f32 multiply
+  std::vector<float> img(W * H);
+  for (int y = 0; y < H; y++)
+    for (int x = 0; x < W; x++)
+      img[x + y * W] = tex(x + DS[i], y) * (float)EXPOSURES[i];
+  FrameHessian *fh = new FrameHessian();
+  FrameShell *sh = new FrameShell();
+  sh->id = i;
+  sh->incoming_id = i;
+  sh->timestamp = 0.1 * i;
+  fh->shell = sh;
+  fh->ab_exposure = EXPOSURES[i];
+  fh->makeImages(img.data(), hcalib);
+  fh->frameID = i;
+  fh->idx = i;
+
+  // eval-point pose: translation matching the texture shift + a tiny
+  // rotation so rotational Jacobian terms are exercised
+  double tx = (double)DS[i] / (FX * ID_TRUE);
+  Vec3 rot(0.0008 * i, -0.0005 * i, 0.0011 * i);
+  SE3 camToWorld(SO3::exp(rot), Vec3(tx, 0.001 * i, -0.002 * i));
+  fh->setEvalPT_scaled(camToWorld, AffLight(0, 0));
+
+  // FEJ delta: internal-unit state offset (pose + affine), small enough
+  // to keep sub-pixel misalignment on the smooth texture
+  Vec10 st = Vec10::Zero();
+  for (int k = 0; k < 3; k++)
+    st[k] = 0.004 * std::sin(1.0 + 3.0 * i + 0.7 * k);
+  for (int k = 3; k < 6; k++)
+    st[k] = 0.0012 * std::sin(1.0 + 3.0 * i + 0.7 * k);
+  st[6] = 0.002 * (i + 1);
+  st[7] = -0.0015 * (i - 1);
+  fh->setState(st);
+  fh->frameEnergyTH = 12 * 12 * patternNum;
+
+  // print the exact pose/state inputs so the Python side consumes them
+  // verbatim (no cross-language sin/SE3-exp reproduction needed)
+  const Eigen::Matrix<double, 4, 4> T = camToWorld.matrix();
+  printf("frame %d %.17g %.17g", i, fh->ab_exposure, fh->frameEnergyTH);
+  for (int a = 0; a < 4; a++)
+    for (int b = 0; b < 4; b++) printf(" %.17g", T(a, b));
+  for (int k = 0; k < 10; k++) printf(" %.17g", st[k]);
+  printf("\n");
+  return fh;
+}
+
+int main() {
+  Eigen::Matrix3f K;
+  K << FX, 0.f, CX, 0.f, FY, CY, 0.f, 0.f, 1.f;
+  setGlobalCalib(W, H, K);
+  setting_enable_imu = false;
+  setting_enable_scale_opt = false;
+  multiThreading = false;  // serial accumulation: deterministic sum order
+
+  CalibHessian hcalib;
+
+  EnergyFunctional ef;
+  ef.red = new IndexThreadReduce<Vec10>();
+
+  std::vector<FrameHessian *> frames;
+  for (int i = 0; i < 3; i++) {
+    FrameHessian *fh = make_frame(i, &hcalib);
+    frames.push_back(fh);
+    ef.insertFrame(fh, &hcalib);
+  }
+
+  // points hosted in every frame; residuals toward both other frames
+  std::vector<PointHessian *> points;
+  std::vector<PointFrameResidual *> residuals;
+  for (int hi = 0; hi < 3; hi++) {
+    int n = 0;
+    for (int v = 30; v <= H - 30 && n < 20; v += 24)
+      for (int u = 30; u <= W - 30 && n < 20; u += 24, n++) {
+        ImmaturePoint imm(u, v, frames[hi], 1.0f, &hcalib);
+        float id0 = 0.5f + 0.02f * (float)((u + v) % 5);
+        if (n % 7 == 3) id0 += 0.35f;  // wrong depth → outlier path
+        imm.idepth_min = id0;
+        imm.idepth_max = id0;
+        PointHessian *ph = new PointHessian(&imm, &hcalib);
+        ph->setIdepthZero(id0);
+        ph->setIdepth(id0 + 0.01f);  // nonzero idepth FEJ delta
+        ph->setPointStatus(PointHessian::ACTIVE);
+        points.push_back(ph);
+        ef.insertPoint(ph);
+        printf("pt %d %d %d %.9g %.9g %.9g\n", hi, u, v, ph->idepth,
+               ph->idepth_zero, ph->energyTH);
+        for (int ti = 0; ti < 3; ti++) {
+          if (ti == hi) continue;
+          PointFrameResidual *r =
+              new PointFrameResidual(ph, frames[hi], frames[ti]);
+          ph->residuals.push_back(r);
+          ef.insertResidual(r);
+          residuals.push_back(r);
+        }
+      }
+  }
+
+  ef.setAdjointsF(&hcalib);
+  ef.makeIDX();
+
+  // FullSystem::setPrecalcValues (FullSystem.cpp:1099-1107)
+  for (FrameHessian *fh : frames) {
+    fh->targetPrecalc.resize(frames.size());
+    for (size_t i = 0; i < frames.size(); i++)
+      fh->targetPrecalc[i].set(fh, frames[i], &hcalib);
+  }
+  ef.setDeltaF(&hcalib);
+
+  // linearize all + print every RawResidualJacobian
+  for (size_t k = 0; k < residuals.size(); k++) {
+    PointFrameResidual *r = residuals[k];
+    double e = r->linearize(&hcalib);
+    printf("lin %zu %d %d %.9g %.9g %d", k, r->host->idx, r->target->idx, e,
+           r->state_NewEnergyWithOutlier, (int)r->state_NewState);
+    RawResidualJacobian *J = r->J;
+    for (int i = 0; i < patternNum; i++) printf(" %.9g", J->resF[i]);
+    for (int c = 0; c < 2; c++)
+      for (int i = 0; i < 6; i++) printf(" %.9g", J->Jpdxi[c][i]);
+    for (int c = 0; c < 2; c++)
+      for (int i = 0; i < 4; i++) printf(" %.9g", J->Jpdc[c][i]);
+    printf(" %.9g %.9g", J->Jpdd[0], J->Jpdd[1]);
+    for (int c = 0; c < 2; c++)
+      for (int i = 0; i < patternNum; i++) printf(" %.9g", J->JIdx[c][i]);
+    for (int c = 0; c < 2; c++)
+      for (int i = 0; i < patternNum; i++) printf(" %.9g", J->JabF[c][i]);
+    for (int a = 0; a < 2; a++)
+      for (int b = 0; b < 2; b++) printf(" %.9g", J->JIdx2(a, b));
+    for (int a = 0; a < 2; a++)
+      for (int b = 0; b < 2; b++) printf(" %.9g", J->JabJIdx(a, b));
+    printf(" %.9g %.9g %.9g\n", r->centerProjectedTo[0],
+           r->centerProjectedTo[1], r->centerProjectedTo[2]);
+    r->applyRes(true);
+  }
+
+  // stitched active + linearized(prior-carrying) + Schur systems
+  // (solveSystemF internals, vision path; HFinal_top = HL + HA)
+  MatXX HA, HL, HSC;
+  VecX bA, bL, bSC;
+  ef.accumulateAF_MT(HA, bA, false);
+  ef.accumulateLF_MT(HL, bL, false);
+  ef.accumulateSCF_MT(HSC, bSC, false);
+  HA += HL;
+  bA += bL;
+  int dim = (int)bA.size();
+  printf("dim %d\n", dim);
+  for (int i = 0; i < dim; i++)
+    for (int j = 0; j < dim; j++)
+      printf("HA %d %d %.17g\n", i, j, HA(i, j));
+  for (int i = 0; i < dim; i++) printf("bA %d %.17g\n", i, bA(i));
+  for (int i = 0; i < dim; i++)
+    for (int j = 0; j < dim; j++)
+      printf("HSC %d %d %.17g\n", i, j, HSC(i, j));
+  for (int i = 0; i < dim; i++) printf("bSC %d %.17g\n", i, bSC(i));
+
+  // full solve + resubstitution
+  ef.solveSystemF(0, 1e-5, &hcalib);
+  for (int i = 0; i < (int)ef.lastX.size(); i++)
+    printf("x %d %.17g\n", i, ef.lastX(i));
+  for (size_t k = 0; k < points.size(); k++)
+    printf("pstep %zu %.9g\n", k, points[k]->step);
+  return 0;
+}

@@ -72,7 +72,9 @@ class ScanAccumulator:
     def __init__(self, lidar_range: float, enable_imu: bool):
         self.lidar_range = lidar_range
         self.enable_imu = enable_imu
-        self.pts_w = np.zeros((0, 3), np.float32)   # accumulated world pts
+        self.pts_w = np.zeros((0, 3), np.float64)   # accumulated world pts
+        # float64 end-to-end: the reference accumulates Vector3d; f32 here
+        # drifts voxel assignments near bin edges, compounding across KFs
         self.fids = np.zeros(0, np.int64)           # source KF per point
         self.id2pose: Dict[int, np.ndarray] = {}
 
@@ -83,7 +85,7 @@ class ScanAccumulator:
         R, t = T_wc[:3, :3], T_wc[:3, 3]
         if len(pts_cam):
             self.pts_w = np.concatenate(
-                [self.pts_w, (pts_cam @ R.T + t).astype(np.float32)])
+                [self.pts_w, (np.asarray(pts_cam, np.float64) @ R.T + t)])
             self.fids = np.concatenate(
                 [self.fids, np.full(len(pts_cam), frame_id, np.int64)])
 
@@ -122,7 +124,7 @@ class ScanAccumulator:
             keep_idx, pts_scan = src[sel], p_l[sel]
         else:
             keep_idx = np.zeros(0, np.int64)
-            pts_scan = np.zeros((0, 3), np.float32)
+            pts_scan = np.zeros((0, 3), np.float64)
 
         self.pts_w = self.pts_w[keep_idx]
         self.fids = self.fids[keep_idx]
@@ -190,20 +192,33 @@ def generate(pts_cam: np.ndarray, T_sc_rig: np.ndarray,
     vals = sig[filled]
     if vals.size == 0:
         return np.zeros((NUM_S, NUM_R)), ringkey, False
-    var_height = vals.var()
+    # The reference's height-variance gate divides the mean by
+    # signature.size() BEFORE the signature is filled (ScanContext.cpp:285)
+    # — always zero — so ave_height is ±inf and var_height is inf whenever
+    # any bin is filled: the gate effectively tests "any bin filled".
+    # Golden-tested against the compiled reference; replicated for loop
+    # recall parity.
+    usable = bool(np.isfinite(vals).any())
 
     norm_si = np.sqrt(np.sum(np.where(filled, sig ** 2, 0.0), axis=1))
     sig_n = np.where(filled, sig / np.maximum(norm_si[:, None], 1e-12), 0.0)
-    return sig_n, ringkey, bool(var_height > VAR_HEIGHT_THRES)
+    return sig_n, ringkey, usable
 
 
 class RingkeyIndex:
     """Brute-force kNN over stored ringkeys with the insertion margin
-    (search_ringkey, ScanContext.cpp:310-342; margin = 100 KFs there)."""
+    (search_ringkey, ScanContext.cpp:310-342; margin = 100 KFs there).
+
+    Mirrors the reference's flann index exactly, INCLUDING its initial
+    dummy row (LoopHandler.cpp:30-34): searches start once the index holds
+    > FLANN_NN entries counting the dummy, the dummy can occupy one of the
+    kNN slots, and returned candidates are the 0-based insertion order of
+    real ringkeys (the reference's idces[i]-1). Golden-tested."""
 
     def __init__(self, margin: int = LOOP_MARGIN):
         self.margin = margin
-        self.keys: List[np.ndarray] = []   # searchable
+        # index slot 0 = the reference's dummy row (zeros)
+        self.keys: List[np.ndarray] = [np.zeros(NUM_R)]
         self.queue: List[np.ndarray] = []  # waiting `margin` frames
 
     def search_and_insert(self, ringkey: np.ndarray) -> List[int]:
@@ -211,10 +226,10 @@ class RingkeyIndex:
         if len(self.keys) > FLANN_NN:
             K = np.stack(self.keys)
             d = np.sum((K - ringkey[None, :]) ** 2, axis=1)
-            order = np.argsort(d)[:FLANN_NN]
+            order = np.argsort(d, kind="stable")[:FLANN_NN]
             for i in order:
                 if d[i] < RINGKEY_THRES and i > 0:
-                    cands.append(int(i))
+                    cands.append(int(i) - 1)
         self.queue.append(ringkey.copy())
         if len(self.queue) > self.margin:
             self.keys.append(self.queue.pop(0))

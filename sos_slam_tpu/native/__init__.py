@@ -54,8 +54,9 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.preprocess_frame_f32.argtypes = [
         fp, ctypes.c_int, ctypes.c_int, fp, fp, fp, fp, u8p,
         ctypes.c_int, ctypes.c_int, fp]
+    dp = ctypes.POINTER(ctypes.c_double)
     lib.scan_voxel_filter.argtypes = [
-        fp, u8p, ctypes.c_int, fp, ctypes.c_float, fp, i32p, fp]
+        dp, u8p, ctypes.c_int, dp, ctypes.c_double, dp, i32p, dp]
     lib.scan_voxel_filter.restype = ctypes.c_int
     return lib
 
@@ -120,18 +121,18 @@ def scan_voxel_filter(pts_w: np.ndarray, valid: np.ndarray,
     if lib is None or len(pts_w) == 0:
         return None
     n = len(pts_w)
-    fp = ctypes.POINTER(ctypes.c_float)
+    dp = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    pw = np.ascontiguousarray(pts_w, np.float32)
+    pw = np.ascontiguousarray(pts_w, np.float64)
     vm = np.ascontiguousarray(valid, np.uint8)
-    T = np.ascontiguousarray(T_cw, np.float32)
-    ir = np.ascontiguousarray(inv_res, np.float32)
+    T = np.ascontiguousarray(T_cw, np.float64)
+    ir = np.ascontiguousarray(inv_res, np.float64)
     keep = np.empty(n, np.int32)
-    out = np.empty((n, 3), np.float32)
+    out = np.empty((n, 3), np.float64)
     m = lib.scan_voxel_filter(
-        pw.ctypes.data_as(fp), vm.ctypes.data_as(u8p), n,
-        T.ctypes.data_as(fp), ctypes.c_float(lidar_range),
-        ir.ctypes.data_as(fp), keep.ctypes.data_as(i32p),
-        out.ctypes.data_as(fp))
+        pw.ctypes.data_as(dp), vm.ctypes.data_as(u8p), n,
+        T.ctypes.data_as(dp), ctypes.c_double(lidar_range),
+        ir.ctypes.data_as(dp), keep.ctypes.data_as(i32p),
+        out.ctypes.data_as(dp))
     return keep[:m].copy(), out[:m].copy()

@@ -15,7 +15,9 @@
 
 extern "C" {
 
-// pts_w:   (n, 3) float world points
+// pts_w:   (n, 3) double world points (double end-to-end: the reference
+//          accumulates Vector3d, and float here drifts voxel assignments
+//          near bin edges, compounding across keyframes)
 // valid:   (n,) uint8 mask (points of pruned keyframes are 0)
 // T_cw:    (4, 4) row-major world->camera transform
 // r:       lidar range
@@ -23,26 +25,26 @@ extern "C" {
 // keep_idx:(out, capacity n) indices into pts_w of the kept points
 // pts_loc: (out, capacity n*3) camera-frame coordinates of kept points
 // returns: number of kept points
-int scan_voxel_filter(const float* pts_w, const uint8_t* valid, int n,
-                      const float* T_cw, float r, const float* inv_res,
-                      int32_t* keep_idx, float* pts_loc) {
-  const float r00 = T_cw[0], r01 = T_cw[1], r02 = T_cw[2], t0 = T_cw[3];
-  const float r10 = T_cw[4], r11 = T_cw[5], r12 = T_cw[6], t1 = T_cw[7];
-  const float r20 = T_cw[8], r21 = T_cw[9], r22 = T_cw[10], t2 = T_cw[11];
-  const int64_t sx = (int64_t)std::floor(2.0f * r * inv_res[0]) + 1;
-  const int64_t sy = (int64_t)std::floor(2.0f * r * inv_res[1]) + 1;
+int scan_voxel_filter(const double* pts_w, const uint8_t* valid, int n,
+                      const double* T_cw, double r, const double* inv_res,
+                      int32_t* keep_idx, double* pts_loc) {
+  const double r00 = T_cw[0], r01 = T_cw[1], r02 = T_cw[2], t0 = T_cw[3];
+  const double r10 = T_cw[4], r11 = T_cw[5], r12 = T_cw[6], t1 = T_cw[7];
+  const double r20 = T_cw[8], r21 = T_cw[9], r22 = T_cw[10], t2 = T_cw[11];
+  const int64_t sx = (int64_t)std::floor(2.0 * r * inv_res[0]) + 1;
+  const int64_t sy = (int64_t)std::floor(2.0 * r * inv_res[1]) + 1;
 
-  struct Slot { int32_t idx; float x, y, z; };
+  struct Slot { int32_t idx; double x, y, z; };
   std::unordered_map<int64_t, Slot> vox;
   vox.reserve((size_t)n);
 
   for (int i = 0; i < n; ++i) {
     if (!valid[i]) continue;
-    const float wx = pts_w[3 * i], wy = pts_w[3 * i + 1],
-                wz = pts_w[3 * i + 2];
-    const float x = r00 * wx + r01 * wy + r02 * wz + t0;
-    const float y = r10 * wx + r11 * wy + r12 * wz + t1;
-    const float z = r20 * wx + r21 * wy + r22 * wz + t2;
+    const double wx = pts_w[3 * i], wy = pts_w[3 * i + 1],
+                 wz = pts_w[3 * i + 2];
+    const double x = r00 * wx + r01 * wy + r02 * wz + t0;
+    const double y = r10 * wx + r11 * wy + r12 * wz + t1;
+    const double z = r20 * wx + r21 * wy + r22 * wz + t2;
     if (x * x + y * y + z * z >= r * r) continue;
     const int64_t ix = (int64_t)std::floor((x + r) * inv_res[0]);
     const int64_t iy = (int64_t)std::floor((y + r) * inv_res[1]);

@@ -132,6 +132,33 @@ def interp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return out
 
 
+def interp_bilinear_blin(img: jnp.ndarray, u: jnp.ndarray,
+                         v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of an intensity plane (H, W) returning
+    (color, gx, gy) stacked on a trailing axis — the reference's
+    getInterpolatedElement33BiLin (globalFuncs.h:162-182): the gradients are
+    FORWARD differences of the bilinear cell (gx = rightInt - leftInt), NOT
+    interpolations of the central-difference gradient channels. Used only by
+    the ImmaturePoint constructor (ImmaturePoint.cpp:40)."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.clip(jnp.floor(u), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(v), 0, h - 2).astype(jnp.int32)
+    dx = jnp.clip(u - x0, 0.0, 1.0)
+    dy = jnp.clip(v - y0, 0.0, 1.0)
+
+    flat = img.reshape(h * w)
+    idx = y0 * w + x0
+    c = jnp.take(flat, jnp.stack([idx, idx + 1, idx + w, idx + w + 1], 0),
+                 axis=0)
+    tl, tr, bl, br = c[0], c[1], c[2], c[3]
+    top = dx * tr + (1 - dx) * tl
+    bot = dx * br + (1 - dx) * bl
+    left = dy * bl + (1 - dy) * tl
+    right = dy * br + (1 - dy) * tr
+    color = dx * right + (1 - dx) * left
+    return jnp.stack([color, right - left, bot - top], -1)
+
+
 def interp_bilinear_frames(dI: jnp.ndarray, Ku: jnp.ndarray,
                            Kv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear-sample stacked frames dI (F,H,W[,C]) at positions Ku/Kv of

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from sos_slam_tpu.ops.image import (interp_bilinear,
+                                    interp_bilinear_blin,
                                     interp_bilinear_frames,
                                     interp_bilinear_nfk)
 from sos_slam_tpu.utils.config import PATTERN_OFFSETS, Settings
@@ -65,7 +66,9 @@ def init_immature(u, v, host, my_type, dI_host, settings: Settings,
     pat = jnp.asarray(PATTERN_OFFSETS)
     up = u[:, None] + pat[None, :, 0]
     vp = v[:, None] + pat[None, :, 1]
-    ptc = interp_bilinear(dI_host, up, vp)     # (N,8,3)
+    # BiLin variant: forward-difference cell gradients, matching the
+    # reference ctor's getInterpolatedElement33BiLin (ImmaturePoint.cpp:40)
+    ptc = interp_bilinear_blin(dI_host[..., 0], up, vp)   # (N,8,3)
     color = ptc[..., 0]
     g = ptc[..., 1:]                           # (N,8,2)
     gradH = jnp.einsum("nki,nkj->nij", g, g)
@@ -225,8 +228,10 @@ def trace_points(
 
     oob |= ~inb(uMax, vMax)
     skipped = has_max & (dist < settings.trace_slack_interval)
-    # scale-change OOB gate (ImmaturePoint.cpp:176-183)
-    oob |= ~((imm.idepth_min < 0) | ((ptpMin[:, 2] > 0.75) & (ptpMin[:, 2] < 1.5)))
+    # scale-change OOB gate (ImmaturePoint.cpp:176-183); checked AFTER the
+    # skip gate in the reference, so it must not override SKIPPED
+    scale_oob = ~((imm.idepth_min < 0)
+                  | ((ptpMin[:, 2] > 0.75) & (ptpMin[:, 2] < 1.5)))
 
     # error bound from the gradient matrix (ImmaturePoint.cpp:186-198)
     dx = settings.trace_stepsize * (uMax - uMin)
@@ -246,7 +251,8 @@ def trace_points(
     uMax = jnp.where(clamp, uMin + max_pix_search * dxn, uMax)
     vMax = jnp.where(clamp, vMin + max_pix_search * dyn, vMax)
     dist = jnp.where(clamp, max_pix_search, dist)
-    oob |= ~jnp.isfinite(dxn) | ~jnp.isfinite(dyn)
+    # non-finite direction -> OOB, checked after badcond in the reference
+    dir_oob = ~jnp.isfinite(dxn) | ~jnp.isfinite(dyn)
 
     num_steps = jnp.minimum(
         (1.9999 + dist / settings.trace_stepsize).astype(jnp.int32), MAX_STEPS - 1
@@ -344,20 +350,29 @@ def trace_points(
     bad_interval = ~jnp.isfinite(id_min) | ~jnp.isfinite(id_max) | (id_max < 0)
 
     # ---- combine the status machine ----
-    # precedence: sticky OOB > OOB > SKIPPED > BADCONDITION > OUTLIER > GOOD
+    # reference check order (earlier wins, ImmaturePoint.cpp:70-415):
+    # sticky OOB > uv-OOB > SKIPPED > scale-OOB > BADCONDITION > dir-OOB
+    # > OUTLIER > bad-interval OUTLIER > GOOD
     status = jnp.full((N,), IPS_GOOD, jnp.int8)
     new_min, new_max = id_min, id_max
     status = jnp.where(bad_interval, IPS_OUTLIER, status)
     status = jnp.where(outlier, jnp.where(outlier_to_oob, IPS_OOB, IPS_OUTLIER),
                        status)
     keep_interval = outlier | bad_interval
+    status = jnp.where(dir_oob, IPS_OOB, status)
     status = jnp.where(badcond, IPS_BADCONDITION, status)
+    status = jnp.where(scale_oob, IPS_OOB, status)
     status = jnp.where(skipped, IPS_SKIPPED, status)
-    keep_interval |= badcond | skipped
+    keep_interval |= dir_oob | badcond | scale_oob | skipped
     status = jnp.where(oob | was_oob, IPS_OOB, status)
     keep_interval |= oob | was_oob
     status = jnp.where(imm.valid, status, imm.status)
     keep_interval |= ~imm.valid
+    # quality only updates when the discrete search actually ran (i.e. the
+    # trace reached the sweep: not returned-early, but outliers DO count)
+    ran_sweep = ~(oob | was_oob | skipped | scale_oob | badcond | dir_oob
+                  | ~imm.valid)
+    quality = jnp.where(ran_sweep, quality, imm.quality)
 
     new_min = jnp.where(keep_interval, imm.idepth_min, new_min)
     new_max = jnp.where(keep_interval, imm.idepth_max, new_max)

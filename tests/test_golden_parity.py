@@ -301,3 +301,516 @@ def test_selector_thresholds_match_reference(selector_out):
     ref = np.array([[ths_ref[(x, y)][1] for x in range(w32)]
                     for y in range(h32)])
     np.testing.assert_allclose(sm, ref, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Epipolar trace (ImmaturePoint::traceOn) vs ops/trace.py
+# ---------------------------------------------------------------------------
+
+def _smooth_tex(W, H, shift=0):
+    """The smooth value-noise texture of harness_trace/harness_residual —
+    every op exact in float32, bitwise reproducible."""
+    x = np.arange(W)[None, :] + shift
+    y = np.arange(H)[:, None] + 0 * x
+    x0, y0 = x >> 3, y >> 3
+    fx = ((x & 7) * np.float32(0.125)).astype(np.float32)
+    fy = ((y & 7) * np.float32(0.125)).astype(np.float32)
+
+    def lat(a, b):
+        return (((a * 73856093).astype(np.uint32)
+                 ^ (b * 19349663).astype(np.uint32)) % np.uint32(61)
+                ).astype(np.float32)
+
+    v00, v10 = lat(x0, y0), lat(x0 + 1, y0)
+    v01, v11 = lat(x0, y0 + 1), lat(x0 + 1, y0 + 1)
+    a = v00 + (v10 - v00) * fx
+    b = v01 + (v11 - v01) * fx
+    ramp = ((x * 7 + y * 13) % 97).astype(np.float32)
+    return (np.float32(0.5) * ramp + (a + (b - a) * fy)
+            + np.float32(30.0)).astype(np.float32)
+
+
+# C++ ImmaturePointStatus (ImmaturePoint.h:39-46) -> ops/trace.py codes
+def _trace_status_map():
+    from sos_slam_tpu.ops import trace as T
+    return {0: T.IPS_GOOD, 1: T.IPS_OOB, 2: T.IPS_OUTLIER, 3: T.IPS_SKIPPED,
+            4: T.IPS_BADCONDITION, 5: T.IPS_UNINITIALIZED}
+
+
+@pytest.fixture(scope="module")
+def trace_out():
+    lines = golden_build.run("trace").splitlines()
+    inits, rounds = [], {0: [], 1: [], 2: []}
+    for ln in lines:
+        t = ln.split()
+        if ln.startswith("init "):
+            inits.append(list(map(float, t[1:])))
+        elif ln.startswith("trace "):
+            rounds[int(t[1])].append(list(map(float, t[2:])))
+    return inits, rounds
+
+
+def test_trace_matches_reference(trace_out):
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.ops import trace as T
+    from sos_slam_tpu.ops.image import build_pyramid
+    from sos_slam_tpu.utils.config import default_settings
+
+    inits, rounds = trace_out
+    W, H = 256, 192
+    FX = 200.0
+    ID_TRUE = 0.5
+    s = default_settings()
+
+    lv, _ = build_pyramid(jnp.asarray(_smooth_tex(W, H)), 1)
+    dI_host = lv[0]
+
+    u = jnp.asarray([r[0] for r in inits], jnp.float32)
+    v = jnp.asarray([r[1] for r in inits], jnp.float32)
+    N = u.shape[0]
+    imm = T.init_immature(u, v, jnp.zeros(N, jnp.int32),
+                          jnp.ones(N, jnp.int32), dI_host, s, N)
+
+    # constructor parity: energyTH, gradH, pattern weights
+    ref = np.array(inits)
+    np.testing.assert_allclose(np.asarray(imm.energy_th), ref[:, 2], rtol=1e-5)
+    gH = np.asarray(imm.gradH)
+    np.testing.assert_allclose(gH[:, 0, 0], ref[:, 3], rtol=1e-3)
+    np.testing.assert_allclose(gH[:, 0, 1], ref[:, 4], rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(gH[:, 1, 1], ref[:, 5], rtol=1e-3)
+    wgt = np.asarray(imm.weights)
+    np.testing.assert_allclose(wgt[:, 0], ref[:, 6], rtol=1e-4)
+    np.testing.assert_allclose(wgt[:, 7], ref[:, 7], rtol=1e-4)
+
+    smap = _trace_status_map()
+    for r, D in enumerate([6, 4, 9]):
+        lt, _ = build_pyramid(jnp.asarray(_smooth_tex(W, H, shift=D)), 1)
+        tx = -float(D) / (FX * ID_TRUE)
+        KRKi = jnp.eye(3)[None]
+        Kt = jnp.asarray([[FX * tx, 0.0, 0.0]], jnp.float32)
+        aff = jnp.asarray([[1.0, 0.0]], jnp.float32)
+        imm = T.trace_points(imm, lt[0], KRKi, Kt, aff, W, H, s)
+
+        rows = sorted(rounds[r], key=lambda x: x[0])
+        ref_status = np.array([smap[int(x[1])] for x in rows])
+        ref_min = np.array([x[2] for x in rows])
+        ref_max = np.array([x[3] for x in rows])
+        st = np.asarray(imm.status)
+        agree = (st == ref_status)
+        # the discrete sweep runs in bf16 (documented ~0.4% energy rounding):
+        # borderline statuses may flip, but the bulk must match exactly
+        assert agree.mean() > 0.95, (
+            r, agree.mean(),
+            [(i, int(st[i]), int(ref_status[i]))
+             for i in np.where(~agree)[0][:8]])
+        both_good = agree & (ref_status == T.IPS_GOOD)
+        assert both_good.sum() > 50 or (ref_status == T.IPS_GOOD).sum() < 20
+        if both_good.sum() == 0:
+            continue
+        dmin = np.abs(np.asarray(imm.idepth_min) - ref_min)[both_good]
+        dmax = np.abs(np.asarray(imm.idepth_max) - ref_max)[both_good]
+        # sub-5e-3 idepth agreement for virtually all points; a couple of
+        # wide-interval (errorInPixel-clamped) points may land one bf16
+        # sweep step away — bounded by the interval scale, not unbounded
+        ok = (dmin < 5e-3) & (dmax < 5e-3)
+        assert ok.mean() > 0.97, (r, ok.mean())
+        assert np.median(dmin) < 5e-4 and np.median(dmax) < 5e-4
+        assert dmin.max() < 0.1 and dmax.max() < 0.1
+
+
+# ---------------------------------------------------------------------------
+# BA core: PointFrameResidual::linearize + stitched top/Schur Hessians +
+# vision solve (EnergyFunctional) vs ops/ba.py and ops/ba_p.py
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def residual_out():
+    lines = golden_build.run("residual").splitlines()
+    out = dict(frames={}, pts=[], lins=[], HA={}, bA={}, HSC={}, bSC={},
+               x={}, pstep={}, dim=None)
+    for ln in lines:
+        t = ln.split()
+        if ln.startswith("frame "):
+            out["frames"][int(t[1])] = list(map(float, t[2:]))
+        elif ln.startswith("pt "):
+            out["pts"].append((int(t[1]), int(t[2]), int(t[3]),
+                               *map(float, t[4:])))
+        elif ln.startswith("lin "):
+            out["lins"].append((int(t[1]), int(t[2]), int(t[3]),
+                                *map(float, t[4:])))
+        elif ln.startswith("dim "):
+            out["dim"] = int(t[1])
+        elif t and t[0] in ("HA", "HSC"):
+            out[t[0]][(int(t[1]), int(t[2]))] = float(t[3])
+        elif t and t[0] in ("bA", "bSC", "x", "pstep"):
+            out[t[0]][int(t[1])] = float(t[2])
+    return out
+
+
+@pytest.fixture(scope="module")
+def residual_setup(residual_out):
+    """Build the identical window as a BAState + run our linearize."""
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.ops import ba as B
+    from sos_slam_tpu.ops import trace as T
+    from sos_slam_tpu.ops.image import build_pyramid
+    from sos_slam_tpu.utils.config import default_settings
+
+    W, H = 256, 192
+    DS, EXPO = [0, 4, 7], [1.0, 1.1, 0.9]
+    F, P = 3, 64
+    s = default_settings()
+    ref = residual_out
+
+    dI = jnp.stack([
+        build_pyramid(jnp.asarray(
+            _smooth_tex(W, H, shift=DS[i]) * np.float32(EXPO[i])), 1)[0][0]
+        for i in range(F)
+    ])  # (F,H,W,3)
+
+    T_eval = np.zeros((F, 4, 4), np.float32)
+    state = np.zeros((F, 8), np.float32)
+    energy_th = np.zeros(F, np.float32)
+    for i in range(F):
+        vals = ref["frames"][i]
+        energy_th[i] = vals[1]
+        T_eval[i] = np.array(vals[2:18]).reshape(4, 4)
+        state[i] = vals[18:26]
+
+    # points exactly as the harness lays them out
+    pts = ref["pts"]
+    n_pts = len(pts)
+    u = np.zeros(P, np.float32)
+    v = np.zeros(P, np.float32)
+    host = np.zeros(P, np.int32)
+    idepth = np.zeros(P, np.float32)
+    idepth_zero = np.zeros(P, np.float32)
+    for k, (hi, uu, vv, idp, idp0, _eth) in enumerate(pts):
+        u[k], v[k], host[k] = uu, vv, hi
+        idepth[k], idepth_zero[k] = idp, idp0
+    pt_valid = np.arange(P) < n_pts
+
+    # colors/weights from the (host) images — the ImmaturePoint ctor path
+    imm = T.init_immature(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(host),
+        jnp.asarray(pt_valid, jnp.int32), dI[0], s, P)
+    # re-sample per-point from the right host frame
+    from sos_slam_tpu.utils.config import PATTERN_OFFSETS
+    from sos_slam_tpu.ops.image import interp_bilinear_blin, interp_bilinear
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    up = jnp.asarray(u)[:, None] + pat[None, :, 0]
+    vp = jnp.asarray(v)[:, None] + pat[None, :, 1]
+    ptc = jnp.stack([interp_bilinear_blin(dI[i][..., 0], up, vp)
+                     for i in range(F)])          # (F,P,8,3)
+    hostj = jnp.asarray(host)
+    ptc_h = ptc[hostj, jnp.arange(P)]             # (P,8,3)
+    color = ptc_h[..., 0]
+    g2 = jnp.sum(ptc_h[..., 1:] ** 2, -1)
+    weights = jnp.sqrt(s.outlier_th_sum_component
+                       / (s.outlier_th_sum_component + g2))
+
+    prior = np.zeros((F, 8), np.float32)
+    prior[0, 0:3] = s.initial_trans_prior
+    prior[0, 3:6] = s.initial_rot_prior
+    prior[0, 6] = s.initial_aff_a_prior
+    prior[0, 7] = s.initial_aff_b_prior
+    prior[1:, 6] = s.affine_opt_mode_a
+    prior[1:, 7] = s.affine_opt_mode_b
+
+    res_exist = pt_valid[:, None] & (host[:, None] != np.arange(F)[None, :])
+
+    D = 4 + 8 * F
+    c = jnp.asarray([200.0, 200.0, 128.0, 96.0]) / B.CALIB_SCALE
+    ba = B.BAState(
+        frame_valid=jnp.ones(F, bool),
+        T_cw_eval=jnp.asarray(T_eval),
+        state=jnp.asarray(state),
+        state_zero=jnp.zeros((F, 8), jnp.float32),
+        exposure=jnp.asarray(EXPO, jnp.float32),
+        energy_th=jnp.asarray(energy_th),
+        prior=jnp.asarray(prior),
+        c=c, c_zero=c,
+        pt_valid=jnp.asarray(pt_valid),
+        host=jnp.asarray(host),
+        u=jnp.asarray(u), v=jnp.asarray(v),
+        color=color, weight=weights,
+        idepth=jnp.asarray(idepth), idepth_zero=jnp.asarray(idepth_zero),
+        pt_prior=jnp.zeros(P),
+        res_exist=jnp.asarray(res_exist),
+        res_state=jnp.zeros((P, F), jnp.int8),
+        HM=jnp.zeros((D, D)), bM=jnp.zeros(D),
+    )
+    pre = B.make_precalc(ba)
+    lin = B.linearize(ba, pre, dI, s, W, H)
+    return B, ba, pre, lin, dI, s
+
+
+def test_linearize_matches_reference(residual_out, residual_setup):
+    B, ba, pre, lin, dI, s = residual_setup
+    ref = residual_out
+    new_state = np.asarray(lin.new_state)
+    e_raw = np.asarray(lin.energy_raw)
+    resF = np.asarray(lin.resF)
+    X = np.asarray(lin.X)
+    Jpdd = np.asarray(lin.Jpdd)
+    JIdx = np.asarray(lin.JIdx)
+    JabF = np.asarray(lin.JabF)
+    JIdx2 = np.asarray(lin.JIdx2)
+    JabJIdx = np.asarray(lin.JabJIdx)
+
+    # residual index -> (point index, target) mapping of the harness:
+    # points in order, targets ti != hi ascending
+    n_in = n_out = 0
+    for row in ref["lins"]:
+        k, hi, ti = row[0], row[1], row[2]
+        p = k // 2
+        e_ref, ewo_ref, st_ref = row[3], row[4], int(row[5])
+        vals = row[6:]
+        assert int(new_state[p, ti]) == st_ref, (k, p, ti)
+        if st_ref != 0:
+            n_out += 1
+            continue
+        n_in += 1
+        np.testing.assert_allclose(e_raw[p, ti], ewo_ref, rtol=2e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(resF[p, ti], vals[0:8], rtol=2e-3,
+                                   atol=5e-3)
+        # Jpdxi (real units), rows x/y
+        np.testing.assert_allclose(X[p, ti, 0, 4:], vals[8:14], rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(X[p, ti, 1, 4:], vals[14:20], rtol=1e-4,
+                                   atol=1e-4)
+        # Jpdc (internal units)
+        np.testing.assert_allclose(X[p, ti, 0, :4], vals[20:24], rtol=1e-3,
+                                   atol=2e-3)
+        np.testing.assert_allclose(X[p, ti, 1, :4], vals[24:28], rtol=1e-3,
+                                   atol=2e-3)
+        np.testing.assert_allclose(Jpdd[p, ti], vals[28:30], rtol=2e-4,
+                                   atol=2e-2)
+        np.testing.assert_allclose(JIdx[p, ti, 0], vals[30:38], rtol=2e-3,
+                                   atol=5e-3)
+        np.testing.assert_allclose(JIdx[p, ti, 1], vals[38:46], rtol=2e-3,
+                                   atol=5e-3)
+        np.testing.assert_allclose(JabF[p, ti, 0], vals[46:54], rtol=2e-3,
+                                   atol=5e-3)
+        np.testing.assert_allclose(JabF[p, ti, 1], vals[54:62], rtol=2e-3,
+                                   atol=5e-3)
+        np.testing.assert_allclose(
+            JIdx2[p, ti].reshape(-1)[[0, 1, 1, 3]], vals[62:66], rtol=5e-3,
+            atol=2e-2)
+        np.testing.assert_allclose(
+            JabJIdx[p, ti].reshape(-1), vals[66:70], rtol=5e-3, atol=2e-2)
+    assert n_in >= 80 and n_out >= 5, (n_in, n_out)
+
+
+def test_stitched_hessians_match_reference(residual_out, residual_setup):
+    from sos_slam_tpu.utils.config import default_settings
+    B, ba, pre, lin, dI, s = residual_setup
+    ref = residual_out
+    D = ref["dim"]
+    HA_ref = np.zeros((D, D))
+    bA_ref = np.zeros(D)
+    HSC_ref = np.zeros((D, D))
+    bSC_ref = np.zeros(D)
+    for (i, j), val in ref["HA"].items():
+        HA_ref[i, j] = val
+    for (i, j), val in ref["HSC"].items():
+        HSC_ref[i, j] = val
+    for i, val in ref["bA"].items():
+        bA_ref[i] = val
+    for i, val in ref["bSC"].items():
+        bSC_ref[i] = val
+
+    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = B.add_priors(ba, H_top, b_top, s)
+    scale = np.abs(HA_ref) + np.abs(HA_ref).max() * 1e-7
+    rel = np.abs(np.asarray(H_top) - HA_ref) / scale
+    assert rel.max() < 5e-3, rel.max()
+    np.testing.assert_allclose(
+        np.asarray(b_top), bA_ref,
+        rtol=2e-3, atol=np.abs(bA_ref).max() * 2e-4)
+
+    sc = B.accumulate_schur(ba, pre, lin)
+    H_sc, b_sc = B.schur_Hb(sc)
+    scale = np.abs(HSC_ref) + np.abs(HSC_ref).max() * 1e-7
+    rel = np.abs(np.asarray(H_sc) - HSC_ref) / scale
+    assert rel.max() < 5e-3, rel.max()
+    np.testing.assert_allclose(
+        np.asarray(b_sc), bSC_ref,
+        rtol=2e-3, atol=np.abs(bSC_ref).max() * 2e-4)
+
+
+def test_solve_and_resubstitution_match_reference(residual_out,
+                                                  residual_setup):
+    import jax.numpy as jnp
+
+    B, ba, pre, lin, dI, s = residual_setup
+    ref = residual_out
+    D = ref["dim"]
+    x_ref = np.array([ref["x"][i] for i in range(D)])
+    pstep_ref = np.array([ref["pstep"][i] for i in range(len(ref["pstep"]))])
+
+    H_top, b_top = B.accumulate_top(ba, pre, lin)
+    H_top, b_top = B.add_priors(ba, H_top, b_top, s)
+    sc = B.accumulate_schur(ba, pre, lin)
+    H_sc, b_sc = B.schur_Hb(sc)
+    x = np.asarray(B.solve_system(ba, H_top, b_top, H_sc, b_sc, lam=1e-5))
+    xs = np.abs(x_ref).max()
+    np.testing.assert_allclose(x[:D], x_ref, atol=xs * 5e-3)
+
+    step = np.asarray(B.resubstitute(sc, jnp.asarray(x)))
+    n = len(pstep_ref)
+    ss = np.abs(pstep_ref).max()
+    np.testing.assert_allclose(step[:n], pstep_ref, atol=ss * 5e-3)
+
+
+def test_fused_ba_p_matches_reference(residual_out, residual_setup):
+    """The Pallas fused iteration reproduces the same reference-golden
+    stitched system (ops/ba_p.py vs AccumulatedTop/SCHessian)."""
+    from sos_slam_tpu.ops import ba_p as BP
+    B, ba, pre, lin, dI, s = residual_setup
+    ref = residual_out
+    D = ref["dim"]
+    HA_ref = np.zeros((D, D))
+    HSC_ref = np.zeros((D, D))
+    bA_ref = np.zeros(D)
+    bSC_ref = np.zeros(D)
+    for (i, j), val in ref["HA"].items():
+        HA_ref[i, j] = val
+    for (i, j), val in ref["HSC"].items():
+        HSC_ref[i, j] = val
+    for i, val in ref["bA"].items():
+        bA_ref[i] = val
+    for i, val in ref["bSC"].items():
+        bSC_ref[i] = val
+    # interpret mode on CPU; Mosaic-compiled on TPU — same kernel code
+    out = BP.fused_iteration(ba, pre, dI, s, dI.shape[2], dI.shape[1])
+    H_p, b_p = B.add_priors(ba, out.H_top, out.b_top, s)
+    scale = np.abs(HA_ref) + np.abs(HA_ref).max() * 1e-7
+    rel = np.abs(np.asarray(H_p) - HA_ref) / scale
+    assert rel.max() < 1e-2, rel.max()
+    np.testing.assert_allclose(np.asarray(b_p), bA_ref, rtol=5e-3,
+                               atol=np.abs(bA_ref).max() * 5e-4)
+    scale = np.abs(HSC_ref) + np.abs(HSC_ref).max() * 1e-7
+    rel = np.abs(np.asarray(out.H_sc) - HSC_ref) / scale
+    assert rel.max() < 1e-2, rel.max()
+    np.testing.assert_allclose(np.asarray(out.b_sc), bSC_ref, rtol=5e-3,
+                               atol=np.abs(bSC_ref).max() * 5e-4)
+
+
+# ---------------------------------------------------------------------------
+# ScanContext: scan assembly + PCA + signature/ringkey + searches
+# vs loop/scancontext.py
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scancontext_out():
+    lines = golden_build.run("scancontext").splitlines()
+    out = dict(poses={}, scans={}, tfm={}, ringkey={}, sig={}, cand={},
+               match={}, usable={})
+    for ln in lines:
+        t = ln.split()
+        if ln.startswith("pose "):
+            out["poses"][int(t[1])] = np.array(
+                list(map(float, t[2:]))).reshape(4, 4)
+        elif ln.startswith("sp "):
+            out["scans"].setdefault(int(t[1]), []).append(
+                list(map(float, t[2:])))
+        elif ln.startswith("tfm "):
+            out["tfm"][int(t[1])] = list(map(float, t[2:]))
+        elif ln.startswith("ringkey "):
+            out["ringkey"][int(t[1])] = np.array(list(map(float, t[2:])))
+        elif ln.startswith("sig "):
+            out["sig"].setdefault(int(t[1]), {})[int(t[2])] = float(t[3])
+        elif ln.startswith("cand "):
+            out["cand"][int(t[1])] = list(map(int, t[2:]))
+        elif ln.startswith("match "):
+            out["match"][int(t[1])] = (int(t[2]), float(t[3]))
+        elif ln.startswith("usable "):
+            out["usable"][int(t[1])] = int(t[2])
+    return out
+
+
+def _sc_cloud(k):
+    """harness_scancontext.cpp make_cloud in numpy (uint32-exact)."""
+    i = np.arange(300, dtype=np.uint64)
+    h = ((i * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
+        ^ np.uint64((k * 40503) & 0xFFFFFFFF)
+    a = (h % np.uint64(997)).astype(np.float64) / 997.0
+    b = ((h // np.uint64(997)) % np.uint64(991)).astype(np.float64) / 991.0
+    c = ((h // np.uint64(7)) % np.uint64(983)).astype(np.float64) / 983.0
+    z = 2.0 + 28.0 * a
+    x = (b - 0.5) * 24.0
+    y = np.where(i % 3 == 0, 1.5 - 0.02 * z, 0.5 - 2.5 * c)
+    # unique heights (tie-free voxel keep-highest; see the harness)
+    y = y + 1e-7 * ((i.astype(np.int64) + 300 * k) % 9973).astype(np.float64)
+    return np.stack([x, y, z], -1)
+
+
+def test_scancontext_matches_reference(scancontext_out):
+    from sos_slam_tpu.loop import scancontext as SC
+
+    ref = scancontext_out
+    NKF = len(ref["poses"])
+    assert NKF == 132
+    accum = SC.ScanAccumulator(lidar_range=40.0, enable_imu=False)
+    index = SC.RingkeyIndex(margin=100)
+    sigs = []
+    n_cand_frames = n_scan_checked = 0
+    for k in range(NKF):
+        T_wc = ref["poses"][k]
+        pts_sc, T_sc_rig = accum.process(k, T_wc, _sc_cloud(k))
+
+        # scan-point SET parity (the reference's order is unordered_map
+        # iteration order); compare sorted rows
+        ref_scan = np.array(ref["scans"][k])
+        assert len(pts_sc) == len(ref_scan), (k, len(pts_sc), len(ref_scan))
+        a = np.asarray(pts_sc)[np.lexsort(np.asarray(pts_sc).T)]
+        b = ref_scan[np.lexsort(ref_scan.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        n_scan_checked += 1
+
+        # alignment transform parity (compare as rotation matrix + t)
+        qw, qx, qy, qz, tx, ty, tz = ref["tfm"][k]
+        q = np.array([qw, qx, qy, qz])
+        R_ref = np.array([
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+             2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+             2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+             1 - 2 * (qx * qx + qy * qy)]])
+        np.testing.assert_allclose(T_sc_rig[:3, :3], R_ref, atol=1e-6)
+        # the reference's PCA center is read-before-write (`Vec3 center`,
+        # ScanContext.cpp:58-61 — indeterminate but deterministic in this
+        # binary); it shifts the translation by |garbage|/n. Bound it.
+        np.testing.assert_allclose(T_sc_rig[:3, 3], [tx, ty, tz], atol=2e-2)
+
+        # descriptor parity on IDENTICAL inputs: consume the reference's own
+        # alignment transform so its center offset cannot leak into the
+        # signature comparison
+        T_ref = np.eye(4)
+        T_ref[:3, :3] = R_ref
+        T_ref[:3, 3] = [tx, ty, tz]
+        sig, ringkey, usable = SC.generate(np.asarray(pts_sc), T_ref, 40.0)
+        sigs.append(sig)
+        assert usable == bool(ref["usable"][k]), k
+        np.testing.assert_allclose(ringkey, ref["ringkey"][k], atol=1e-6)
+        # sparse signature parity: same filled cells, same normalized values
+        ref_sig = np.zeros((SC.NUM_S, SC.NUM_R))
+        for flat, val in ref["sig"].get(k, {}).items():
+            ref_sig[flat // SC.NUM_R, flat % SC.NUM_R] = val
+        np.testing.assert_allclose(sig, ref_sig, atol=1e-5)
+
+        cands = index.search_and_insert(ringkey)
+        assert sorted(cands) == sorted(ref["cand"].get(k, [])), (
+            k, cands, ref["cand"].get(k))
+        if cands:
+            n_cand_frames += 1
+            mi, diff = SC.search_sc(sig, cands, sigs)
+            mi_ref, diff_ref = ref["match"][k]
+            assert mi == mi_ref, (k, mi, mi_ref)
+            assert abs(diff - diff_ref) < 1e-5, (k, diff, diff_ref)
+    assert n_cand_frames >= 10 and n_scan_checked == NKF

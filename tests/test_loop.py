@@ -51,7 +51,8 @@ class TestScanContext:
         for i in range(SC.LOOP_MARGIN + 5):
             cands = idx.search_and_insert(rk)
         # only frames older than the margin become searchable
-        assert len(idx.keys) == 5
+        # (+1: the reference flann index's initial dummy row)
+        assert len(idx.keys) == 6
         cands = idx.search_and_insert(rk)
         assert len(cands) >= 1
 
