@@ -6,6 +6,11 @@ analytic multi-view-consistent scene — no dataset dependency), measures
 steady-state throughput after a compile/warmup phase, and prints ONE JSON
 line.
 
+Every timed scene runs MULTIPLE times (the pipeline is deterministic, so
+only timing varies): the headline value is the MEDIAN steady-window fps and
+the per-run values are reported in `extra` (`fps_runs`, ...), making the
+tunnel's run-to-run variance visible instead of folding it into the number.
+
 Baseline contract (BASELINE.json): >= 2x camera rate (EuRoC = 20 fps) on one
 TPU v5e chip => vs_baseline = fps / 40.0 (>= 1.0 means target met).
 """
@@ -21,55 +26,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+W, H = 640, 480
+N_FRAMES = 48
+# warmup must cover the first frame marginalization (window fill) so all
+# program variants are compiled before the timed window starts
+WARMUP = 26
+N_RUNS_MAIN = 3
+N_RUNS_LOW = 3
+N_RUNS_FULL = 2
 
-def main():
+
+def _run_main_scene(calib, imgs, poses, settings, verbose, profile,
+                    run_idx):
+    """One full main-scene run. Returns dict with fps/kf_ms/ate/path/fs."""
     from sos_slam_tpu.models.full_system import FullSystem
-    from sos_slam_tpu.utils import synthetic
-    from sos_slam_tpu.utils.config import default_settings
 
-    W, H = 640, 480
-    N_FRAMES = 48
-    # warmup must cover the first frame marginalization (window fill) so all
-    # program variants are compiled before the timed window starts
-    WARMUP = 26
-
-    calib = synthetic.default_calib(W, H)
-    twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])
-    imgs, _, poses = synthetic.make_sequence(calib, N_FRAMES, twist,
-                                             plane_z=2.0)
-    # pre-slice OUTSIDE the timed loop: an eager imgs[i] device slice costs
-    # a ~20 ms tunnel round trip per frame (profiled round 4) and is input
-    # staging, not pipeline work
-    imgs = [jax.block_until_ready(imgs[i]) for i in range(N_FRAMES)]
-
-    settings = default_settings()
     fs = FullSystem(calib, settings)
-
-    verbose = os.environ.get("SOS_BENCH_VERBOSE", "0") == "1"
-    # SOS_BENCH_PROFILE=1: cProfile the steady window IN PIPELINED MODE
-    # (profile_host.py blocks per frame, which serializes exactly what the
-    # pipeline hides — this is the only honest host-cost decomposition)
-    profile = os.environ.get("SOS_BENCH_PROFILE", "0") == "1"
     prof = None
-    # throughput is steady-window WALL time (the pipeline overlaps the
-    # per-frame readback with the next frame's execution — a per-frame
-    # device sync would serialize exactly what it hides); per-frame
-    # dispatch-to-dispatch intervals are kept as diagnostics only
     frame_times = []
     kf_flags = []
     t_start = time.time()
     t_steady = None
     for i in range(N_FRAMES):
         if verbose:
-            print(f"[bench] frame {i} t={time.time()-t_start:.1f}s",
-                  file=sys.stderr, flush=True)
+            print(f"[bench] run {run_idx} frame {i} "
+                  f"t={time.time()-t_start:.1f}s", file=sys.stderr,
+                  flush=True)
         if i == WARMUP:
             # pre-dispatch rare program variants (tracker fallbacks,
             # selector-potential rungs) so no compile / executable-cache
             # load lands inside the timed window
             fs.prewarm()
             jax.block_until_ready(fs.ba.state)
-            if profile:
+            if profile and run_idx == 0:
                 import cProfile
                 prof = cProfile.Profile()
                 prof.enable()
@@ -105,10 +94,10 @@ def main():
                                             kf_flags[WARMUP:]) if k]
         kf_ba_ms = float(np.median(kf_ms)) if kf_ms else -1.0
     else:
-        fps = 0.0
-        kf_ba_ms = -1.0
+        fps, kf_ba_ms = 0.0, -1.0
 
     # trajectory sanity: scale-aligned ATE must stay small, else report 0
+    ate, path = -1.0, -1.0
     try:
         traj = fs.trajectory()
         ids = traj[:, 0].astype(int)
@@ -122,47 +111,119 @@ def main():
         if ate > 0.05 * path + 0.02:
             fps = 0.0   # fast-but-wrong doesn't count
     except Exception:
-        ate, path = -1.0, -1.0
+        pass
+    return dict(fps=fps, kf_ba_ms=kf_ba_ms, ate=ate, path=path, fs=fs,
+                ok=ok and fps > 0)
+
+
+def _run_low_cadence(calib, settings, imgs2):
+    """Second scene at a realistic (~10%) keyframe cadence."""
+    from sos_slam_tpu.models.full_system import FullSystem
+
+    fs2 = FullSystem(calib, settings)
+    W2 = 14   # init finishes well before; no fresh compiles expected
+    n_done, t2_steady = 0, None
+    for i in range(N_FRAMES):
+        if i == W2:
+            jax.block_until_ready(fs2.ba.state)
+            t2_steady = time.time()
+        fs2.add_active_frame(imgs2[i], timestamp=i * 0.05, frame_id=i)
+        n_done = i + 1
+        if fs2.is_lost or fs2.init_failed:
+            break
+    fs2.finish_pending()
+    jax.block_until_ready(fs2.ba.state)
+    if not (fs2.is_lost or fs2.init_failed) and n_done == N_FRAMES \
+            and t2_steady is not None:
+        return (N_FRAMES - W2) / (time.time() - t2_steady), \
+            fs2.stats["n_kf"], fs2.stats["n_frames"]
+    return -1.0, 0, 0
+
+
+def main():
+    from sos_slam_tpu.utils import synthetic
+    from sos_slam_tpu.utils.config import default_settings
+
+    calib = synthetic.default_calib(W, H)
+    twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])
+    imgs, _, poses = synthetic.make_sequence(calib, N_FRAMES, twist,
+                                             plane_z=2.0)
+    # pre-slice OUTSIDE the timed loop: an eager imgs[i] device slice costs
+    # a ~20 ms tunnel round trip per frame (profiled round 4) and is input
+    # staging, not pipeline work
+    imgs = [jax.block_until_ready(imgs[i]) for i in range(N_FRAMES)]
+
+    settings = default_settings()
+    verbose = os.environ.get("SOS_BENCH_VERBOSE", "0") == "1"
+    # SOS_BENCH_PROFILE=1: cProfile the steady window IN PIPELINED MODE
+    # (profile_host.py blocks per frame, which serializes exactly what the
+    # pipeline hides — this is the only honest host-cost decomposition)
+    profile = os.environ.get("SOS_BENCH_PROFILE", "0") == "1"
+    quick = os.environ.get("SOS_BENCH_QUICK") == "1"
+    n_runs = 1 if quick else N_RUNS_MAIN
+
+    runs = []
+    for r in range(n_runs):
+        runs.append(_run_main_scene(calib, imgs, poses, settings, verbose,
+                                    profile, r))
+        if not runs[-1]["ok"]:
+            break
+    ok = all(r["ok"] for r in runs)
+    fps_runs = [round(r["fps"], 3) for r in runs]
+    kf_runs = [round(r["kf_ba_ms"], 1) for r in runs]
+    if ok:
+        fps = float(np.median([r["fps"] for r in runs]))
+        kf_ba_ms = float(np.median([r["kf_ba_ms"] for r in runs]))
+        spread = (max(fps_runs) - min(fps_runs)) / max(fps, 1e-9)
+    else:
+        fps, kf_ba_ms, spread = 0.0, -1.0, -1.0
+    rep = runs[-1]
+    fs, ate, path = rep["fs"], rep["ate"], rep["path"]
 
     # second scene at a realistic (~10%) keyframe cadence: the primary
     # scene's motion forces ~46% keyframes, which over-weights the KF path;
     # real EuRoC sequences keyframe every ~10 frames. Same resolution, so
     # every compiled program is reused — only execution is measured.
-    lo_fps, lo_kf, lo_frames = -1.0, 0, 0
+    lo_runs, lo_kf, lo_frames = [], 0, 0
     if ok and fps > 0:
         twist2 = jnp.array([0.006, 0.0024, 0.004, 0.0004, 0.0008, 0.0002])
         imgs2, _, _ = synthetic.make_sequence(calib, N_FRAMES, twist2,
                                               plane_z=2.0)
         imgs2 = [jax.block_until_ready(imgs2[i]) for i in range(N_FRAMES)]
-        fs2 = FullSystem(calib, settings)
-        W2 = 14   # init finishes well before; no fresh compiles expected
-        n_done, t2_steady = 0, None
-        for i in range(N_FRAMES):
-            if i == W2:
-                jax.block_until_ready(fs2.ba.state)
-                t2_steady = time.time()
-            fs2.add_active_frame(imgs2[i], timestamp=i * 0.05, frame_id=i)
-            n_done = i + 1
-            if fs2.is_lost or fs2.init_failed:
+        for r in range(1 if quick else N_RUNS_LOW):
+            f, k, n = _run_low_cadence(calib, settings, imgs2)
+            if f <= 0:
                 break
-        fs2.finish_pending()
-        jax.block_until_ready(fs2.ba.state)
-        if not (fs2.is_lost or fs2.init_failed) and n_done == N_FRAMES \
-                and t2_steady is not None:
-            lo_fps = (N_FRAMES - W2) / (time.time() - t2_steady)
-            lo_kf, lo_frames = fs2.stats["n_kf"], fs2.stats["n_frames"]
+            lo_runs.append(round(f, 3))
+            lo_kf, lo_frames = k, n
+    lo_fps = float(np.median(lo_runs)) if lo_runs else -1.0
 
     # flagship full configuration (stereo + VIO): the fused VIO chain
     # (KKT BA + in-chain stereo scale solve) measured at the same
     # resolution. Skippable for quick runs (SOS_BENCH_SKIP_FULL=1).
-    full_fps, full_kf = -1.0, 0
-    if ok and fps > 0 and os.environ.get("SOS_BENCH_SKIP_FULL") != "1":
-        full_fps, full_kf = _bench_full_config(W, H, verbose)
+    full_runs, full_kf = [], 0
+    if ok and fps > 0 and os.environ.get("SOS_BENCH_SKIP_FULL") != "1" \
+            and not quick:
+        for r in range(N_RUNS_FULL):
+            f, k = _bench_full_config(W, H, verbose)
+            if f <= 0:
+                break
+            full_runs.append(round(f, 3))
+            full_kf = k
+    full_fps = float(np.median(full_runs)) if full_runs else -1.0
+
+    # loop-closure stage timings (the reference's TimeVectors,
+    # LoopHandler.h:129-137): a small closed-loop drive through the real
+    # LoopHandler; medians per stage in ms
+    loop_stats = {}
+    if ok and os.environ.get("SOS_BENCH_SKIP_LOOP") != "1":
+        try:
+            loop_stats = _bench_loop_closure()
+        except Exception as e:
+            loop_stats = {"loop_bench_error": type(e).__name__}
 
     # device-efficiency accounting: RPC dispatch floor, per-frame device
-    # time, and roofline utilization (MFU + HBM bandwidth) of the fused
-    # per-frame program — tells the next perf round whether to attack
-    # kernels, bandwidth, or dispatch
+    # time, and roofline utilization of the fused per-frame program
     util = _utilization_report(fs, fps) if ok and fps > 0 else {}
 
     print(json.dumps({
@@ -171,16 +232,22 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 40.0, 4),
         "extra": {
+            "fps_runs": fps_runs,
+            "fps_spread_frac": round(spread, 4),
             "kf_ba_ms_median": round(kf_ba_ms, 1),
+            "kf_ba_ms_runs": kf_runs,
             "n_kf": fs.stats["n_kf"],
             "n_frames": fs.stats["n_frames"],
             "ate_m": round(ate, 4),
             "path_m": round(path, 3),
             "fps_low_cadence": round(lo_fps, 3),
+            "fps_low_cadence_runs": lo_runs,
             "n_kf_low_cadence": lo_kf,
             "fps_full_config": round(full_fps, 3),
+            "fps_full_config_runs": full_runs,
             "n_kf_full_config": full_kf,
             "platform": jax.devices()[0].platform,
+            **loop_stats,
             **util,
         },
     }))
@@ -203,9 +270,13 @@ def _utilization_report(fs, fps):
       the fetch and made the round-2 ratios meaningless.
     - host_ms_per_frame: wall minus device execution — dispatch/bookkeeping
       + the un-overlapped share of the readback.
-    - flops/bytes per frame from the compiled fused program's own cost
-      analysis; mfu vs bf16 peak (kernels are f32, so this is a lower
-      bound), hbm utilization vs 819 GB/s.
+    - flops per frame from the compiled fused program's own cost analysis;
+      mfu vs bf16 peak (kernels are f32, so this is a lower bound).
+    - hbm_gb_per_frame_min: REAL HBM traffic lower bound from the
+      executable's buffer assignment (argument + output + temp bytes all
+      live in HBM; VMEM-resident reuse is excluded by construction). The
+      round-4 "bytes accessed" upper bound (82x physical peak) was noise
+      and is gone (VERDICT r4 weak #5).
     """
     from sos_slam_tpu.utils.hostio import fetch
     import sos_slam_tpu.models.full_system as fsm
@@ -239,24 +310,98 @@ def _utilization_report(fs, fps):
         out["device_ms_per_frame"] = round(dev_ms, 2)
         out["host_ms_per_frame"] = round(max(wall_ms - dev_ms, 0.0), 2)
 
-        ca = fn.lower(*args, **kw).compile().cost_analysis()
+        compiled = fn.lower(*args, **kw).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):   # older jax returns [dict]
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
         dev_s = max(dev_ms, 1e-3) / 1000.0
         out["gflops_per_frame"] = round(flops / 1e9, 2)
         out["mfu_est"] = round(flops / dev_s / (V5E_PEAK_BF16_TFLOPS
                                                 * 1e12), 5)
-        # cost-analysis "bytes accessed" counts every operand access
-        # (including VMEM-resident reuse), so this is an upper bound on
-        # HBM traffic, not a bandwidth measurement
-        out["ca_bytes_per_frame_gb"] = round(bytes_acc / 1e9, 2)
-        out["hbm_util_upper_bound"] = round(bytes_acc / dev_s / 1e9
-                                            / V5E_PEAK_HBM_GBPS, 4)
+        try:
+            ma = compiled.memory_analysis()
+            hbm_bytes = (float(ma.argument_size_in_bytes)
+                         + float(ma.output_size_in_bytes)
+                         + float(ma.temp_size_in_bytes))
+            out["hbm_gb_per_frame_min"] = round(hbm_bytes / 1e9, 3)
+            out["hbm_util_min"] = round(
+                hbm_bytes / dev_s / 1e9 / V5E_PEAK_HBM_GBPS, 4)
+        except Exception:
+            pass
     except Exception as e:   # cost analysis unsupported on some backends
         out["cost_analysis_error"] = type(e).__name__
     return out
+
+
+def _bench_loop_closure():
+    """Drive the real LoopHandler through a drifted closed loop (the
+    tests/test_loop_closure_e2e.py scene, shrunk) and report the stage
+    TimeVector medians the way the reference collects them
+    (LoopHandler.h:129-137)."""
+    from sos_slam_tpu.loop.handler import LoopHandler
+    from sos_slam_tpu.models.full_system import FrameShell
+    from sos_slam_tpu.utils import lie
+    from sos_slam_tpu.utils.config import default_settings
+
+    LIDAR = 30.0
+    settings = default_settings(
+        scale_opt_thres=12.0, loop_lidar_range=LIDAR, loop_icp_thres=1.0,
+        scan_context_thres=0.42)
+    lh = LoopHandler(settings, intrinsics=((300.0, 300.0, 128.0, 96.0),),
+                     n_levels=1, ringkey_margin=6)
+    rng = np.random.RandomState(42)
+    pts = []
+    for _ in range(30):
+        cx, cz = rng.uniform(-25, 25, 2)
+        h = rng.uniform(4, 15)
+        for _ in range(30):
+            pts.append([cx + rng.randn() * 0.4, -rng.uniform(0, h),
+                        cz + rng.randn() * 0.4])
+    while len(pts) < 1500:
+        pts.append([rng.uniform(-28, 28), 0.0, rng.uniform(-28, 28)])
+    env = np.asarray(pts)
+
+    n = 20
+    gt = [np.eye(4)]
+    seg = np.asarray(lie.se3_exp(jnp.asarray(
+        [2.0, 0.0, 0.0, 0.0, 2 * np.pi / 16, 0.0], jnp.float32)))
+    for _ in range(1, n):
+        gt.append(gt[-1] @ seg)
+    drift = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.06, 0.03, -0.04, 0.004, 0.006, 0.0], jnp.float32)))
+    odo = [np.eye(4)]
+    for i in range(1, n):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        odo.append(odo[-1] @ rel @ drift)
+
+    fx, fy, cx, cy = lh.intrinsics[0]
+    for i in range(n):
+        shell = FrameShell(id=i, timestamp=i * 0.5,
+                           cam_to_world=odo[i].copy(), aff=np.zeros(2))
+        shell.cam_to_world_scaled = odo[i].copy()
+        T_cw = np.linalg.inv(gt[i])
+        pc = (T_cw[:3, :3] @ env.T).T + T_cw[:3, 3]
+        pc = pc[np.linalg.norm(pc, axis=1) < LIDAR]
+        pc = pc[rng.choice(len(pc), size=min(1000, len(pc)),
+                           replace=False)]
+        pc = pc[pc[:, 2] > 0.5]
+        pts_uvdi = np.stack([
+            pc[:, 0] / pc[:, 2] * fx + cx,
+            pc[:, 1] / pc[:, 2] * fy + cy,
+            1.0 / pc[:, 2]], -1)
+        lh.on_keyframe(dict(shell=shell, pts_uvdi=pts_uvdi,
+                            intensities=np.zeros((len(pts_uvdi), 1),
+                                                 np.float32),
+                            pyramid=None, dso_error=1.0, scale_error=2.0))
+    lh.join()
+
+    stats = {"loop_edges": lh.n_loop_edges}
+    for stage, vals in lh.timing.items():
+        if vals:
+            stats[f"loop_{stage}_ms"] = round(
+                float(np.median(vals)) * 1000.0, 2)
+    return stats
 
 
 def _bench_full_config(W, H, verbose):

@@ -337,12 +337,18 @@ class FullSystem:
                 return
             if redo:
                 # newer in-flight dispatches chained from invalid state:
-                # reprocess those frames one by one from host state
+                # reprocess those frames one by one. The FIRST reprocessed
+                # frame starts from host state (chain=None); each further
+                # one chains from the previous completed record, exactly
+                # as the synchronous driver would — dispatching them all
+                # with chain=None diverges bitwise from sync (caught by
+                # test_pipeline_invalidation).
                 stale = list(q)
                 q.clear()
                 for r in stale:
                     spec = self._dispatch_fused(
-                        r["image"], r["shell"], r["exposure"], chain=None,
+                        r["image"], r["shell"], r["exposure"],
+                        chain=self._last_chain,
                         stereo_right=r.get("stereo_right"))
                     redo2 = self._complete_fused(spec)
                     self._last_chain = None if redo2 else spec
