@@ -88,7 +88,11 @@ def build_track_template(
     # per-level maps by scattering the SAME level-0 cells with floor-div
     # coordinates: the 2x box downsample (*4, i.e. a plain 2x2 block sum)
     # of a scatter-add map is EXACTLY the scatter-add at ui>>1 — six tiny
-    # (P,) scatters replace a chain of ten full-map convolutions
+    # (P,) scatters replace a chain of ten full-map convolutions.
+    # EXACTNESS requires every level dimension to halve cleanly (odd dims
+    # would let ui>>lvl land outside h>>lvl and drop points silently)
+    assert h % (1 << (n_levels - 1)) == 0 and w % (1 << (n_levels - 1)) == 0, \
+        (h, w, n_levels)
     id_maps, w_maps = [], []
     for lvl in range(n_levels):
         hl, wl = h >> lvl, w >> lvl
@@ -124,6 +128,11 @@ def build_track_template(
         idm, wm = id_maps[lvl], w_maps[lvl]
         color = pyr_ref[lvl][..., 0]
         hl, wl = idm.shape
+        # the fused kernel loads 5 full maps as single untiled VMEM
+        # blocks (~20 B/px); stay on the roll-based XLA form beyond
+        # ~1 MP per level rather than overflow VMEM (ADVICE r4)
+        if use_pallas and hl * wl > 1_000_000:
+            use_pallas = False
         if use_pallas:
             # fused dilate+normalize+good in one VMEM pass (identical on
             # every in-border pixel; only the masked 2-px border differs

@@ -374,6 +374,10 @@ def fused_iteration(ba: B.BAState, pre: B.Precalc, dI: jnp.ndarray,
     TP = P if interpret else min(P, 512)
     if P % TP != 0:
         raise ValueError(f"P={P} not divisible by tile {TP}")
+    if F > 16:
+        # the SMEM scalar buffer packs energy_th / frame_valid into
+        # (4,16) rows; beyond 16 frames sm.at[1,:F] would silently clip
+        raise ValueError(f"fused_iteration supports F<=16 frames, got {F}")
     fx, fy, cx, cy = jnp.asarray(B.calib_real(ba))
     pat = jnp.asarray(PATTERN_OFFSETS, jnp.float32)
     onehot = jax.nn.one_hot(ba.host, F, dtype=jnp.float32)   # (P,F)
