@@ -25,6 +25,27 @@ def _read_image(path: str) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def slice_imu(imu: List, imu_i: int, t: float, t_prev: float):
+    """Consume IMU samples in (t_prev, t] from the time-sorted list `imu`
+    starting at index `imu_i`, appending an interpolated boundary sample at
+    exactly the image timestamp from the straddling pair
+    (SlamNode.cpp:146-159); the sample after the image stays queued for the
+    next frame. Returns (samples, next imu_i)."""
+    samples = []
+    while imu_i < len(imu) and imu[imu_i][0] <= t:
+        if imu[imu_i][0] > t_prev:
+            samples.append(imu[imu_i])
+        imu_i += 1
+    if samples and imu_i < len(imu):
+        t0, a0, g0 = samples[-1]
+        t1, a1, g1 = imu[imu_i]
+        if t0 < t < t1:
+            w = (t - t0) / (t1 - t0)
+            samples.append((t, (1 - w) * np.asarray(a0) + w * np.asarray(a1),
+                            (1 - w) * np.asarray(g0) + w * np.asarray(g1)))
+    return samples, imu_i
+
+
 class EurocReader:
     """ASL folder format: mav0/cam0/data.csv + data/, mav0/imu0/data.csv.
     Also covers TUM-VI which ships the same layout."""
@@ -71,21 +92,7 @@ class EurocReader:
         imu_i = 0
         t_prev = -np.inf
         for t, path in self.images:
-            samples = []
-            while imu_i < len(self.imu) and self.imu[imu_i][0] <= t:
-                if self.imu[imu_i][0] > t_prev:
-                    samples.append(self.imu[imu_i])
-                imu_i += 1
-            # boundary interpolation (SlamNode.cpp:152-159): synthesize a
-            # sample at exactly the image timestamp from the straddling pair;
-            # the sample after the image stays queued for the next frame
-            if samples and imu_i < len(self.imu):
-                t0, a0, g0 = samples[-1]
-                t1, a1, g1 = self.imu[imu_i]
-                if t0 < t < t1:
-                    w = (t - t0) / (t1 - t0)
-                    samples.append((t, (1 - w) * np.asarray(a0) + w * np.asarray(a1),
-                                    (1 - w) * np.asarray(g0) + w * np.asarray(g1)))
+            samples, imu_i = slice_imu(self.imu, imu_i, t, t_prev)
             rec = dict(t=t, image=_read_image(path), imu=samples,
                        image_right=None)
             if self.stereo:
