@@ -48,6 +48,12 @@ LAMBDA_EXTRAPOLATION_LIMIT = 1e-3
 LM_CHUNK = 2   # LM iterations per device-loop trip (see track_level);
                # steady-state tracking converges in 1-3 iterations, so
                # larger chunks waste full res_and_hb passes on done lanes
+# cond-gated unrolled LM iterations before the while_loop tail: each is
+# wrapped in lax.cond (an identity branch is ~free, a while trip is not),
+# so the common 1-3-iteration convergence never enters the while_loop at
+# all and the math is bit-identical either way. 0 = classic loop only.
+import os as _os
+LM_UNROLL = int(_os.environ.get("SOS_TRACK_UNROLL", "0"))
 
 
 class LevelTemplate(NamedTuple):
@@ -294,7 +300,11 @@ def track_level(
     init = dict(it=jnp.int32(0), T=T0, aff=aff0, E=r0["E"], num=r0["num_in"],
                 H=r0["H"], b=r0["b"], lam=jnp.float32(0.01),
                 done=jnp.array(False))
-    s = jax.lax.while_loop(lm_cond, lm_body, init)
+    s = init
+    for _ in range(min(LM_UNROLL, max_iters)):
+        s = jax.lax.cond(lm_cond(s), lm_iter, lambda c: c, s)
+    if LM_UNROLL < max_iters:
+        s = jax.lax.while_loop(lm_cond, lm_body, s)
 
     rms = jnp.sqrt(
         jnp.where(s["num"] > 0, s["E"] / jnp.maximum(s["num"], 1), jnp.nan)
