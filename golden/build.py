@@ -66,6 +66,8 @@ HARNESSES = {
         "harness_residual.cpp",
         f"{SRC}/FullSystem/Residuals.cpp",
         f"{SRC}/FullSystem/ImmaturePoint.cpp",
+        f"{SRC}/FullSystem/CoarseTracker.cpp",
+        f"{SRC}/FullSystem/ScaleOptimizer.cpp",
         f"{SRC}/FullSystem/HessianBlocks.cpp",
         f"{SRC}/OptimizationBackend/EnergyFunctional.cpp",
         f"{SRC}/OptimizationBackend/EnergyFunctionalStructs.cpp",

@@ -12,16 +12,35 @@
 // frames, residuals in every direction, nonzero FEJ deltas on pose, affine
 // and idepth. Prints every RawResidualJacobian, the stitched H/b (active +
 // Schur), the solve step x, and per-point idepth steps.
-// expose the accumulate/solve internals for golden readout (the selector
-// harness uses the same trick for PixelSelector2.h); all std/Eigen/boost
-// headers must be fully included BEFORE the access hack
+// expose the accumulate/solve internals and the tracker/scale-optimizer
+// buffers for golden readout (the selector harness uses the same trick for
+// PixelSelector2.h); all std/Eigen/boost headers must be fully included
+// BEFORE the access hack
 #include "util/IndexThreadReduce.h"
+#include "util/FrameShell.h"
+#include "util/globalCalib.h"
+#include "IOWrapper/Output3DWrapper.h"
+#include <Eigen/Geometry>
+#include <algorithm>
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <fstream>
+#include <iostream>
+#include <limits>
 #include <map>
+#include <stdexcept>
+#include <string>
 #include <vector>
 #define private public
+#define protected public
 #include "OptimizationBackend/EnergyFunctional.h"
-#undef private
 #include "FullSystem/FullSystem.h"
+#undef private
+#undef protected
 #include "FullSystem/ImmaturePoint.h"
 #include "FullSystem/Residuals.h"
 #include "util/FrameShell.h"
@@ -227,5 +246,123 @@ int main() {
     printf("x %d %.17g\n", i, ef.lastX(i));
   for (size_t k = 0; k < points.size(); k++)
     printf("pstep %zu %.9g\n", k, points[k]->step);
+
+  // ================= CoarseTracker golden =================
+  // template from the window (makeCoarseDepthL0, CoarseTracker.cpp:56-230)
+  // + full coarse-to-fine track of a 4th frame
+  // (trackNewestCoarse, :366-552).
+  // right-camera baseline for the scale section: disparity D_R at ID_TRUE
+  const int D_R = 5;
+  const double BASE = (double)D_R / (FX * ID_TRUE);
+  std::vector<double> tfm_vec(16, 0.0);   // cam0 -> cam1 (right): x -= BASE
+  tfm_vec[0] = tfm_vec[5] = tfm_vec[10] = tfm_vec[15] = 1.0;
+  tfm_vec[3] = -BASE;
+  setting_enable_scale_opt = true;
+
+  // wire lastResiduals[0] to each point's residual toward frame 2
+  for (PointFrameResidual *r : residuals) {
+    if (r->target == frames[2] && r->state_state == ResState::IN)
+      r->point->lastResiduals[0] = std::make_pair(r, ResState::IN);
+  }
+  for (PointHessian *ph : points)
+    ph->host->pointHessians.push_back(ph);
+
+  CoarseTracker ct(W, H, tfm_vec, K);
+  ct.makeK(&hcalib);
+  ct.setCoarseTrackingRef(frames);
+
+  for (int lvl = 0; lvl < pyrLevelsUsed; lvl++) {
+    printf("pcn %d %d\n", lvl, ct.pc_n[lvl]);
+    for (int i = 0; i < ct.pc_n[lvl]; i++)
+      printf("pc %d %.9g %.9g %.9g %.9g\n", lvl, ct.pc_u[lvl][i],
+             ct.pc_v[lvl][i], ct.pc_idepth[lvl][i], ct.pc_color[lvl][i]);
+  }
+
+  // 4th frame: texture shift D3 => plane-consistent pose, small affine
+  {
+    const int D3 = 9;
+    std::vector<float> img(W * H);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++)
+        img[x + y * W] = tex(x + D3, y) * 1.05f;
+    FrameHessian *fh = new FrameHessian();
+    FrameShell *sh = new FrameShell();
+    sh->id = 3;
+    fh->shell = sh;
+    fh->ab_exposure = 1.05;
+    fh->makeImages(img.data(), &hcalib);
+
+    // initial guess: last-to-new from the true relative translation,
+    // perturbed (the tracker must pull it back)
+    double tx3 = (double)D3 / (FX * ID_TRUE);
+    SE3 T3(SO3::exp(Vec3(0.0015, -0.001, 0.002)),
+           Vec3(tx3, 0.002, -0.003));
+    SE3 lastToNew = SE3(T3.matrix()).inverse() *
+                    frames[2]->get_camToWorld_evalPT();
+    // perturb the init
+    lastToNew = SE3::exp((Vec6() << 0.01, -0.008, 0.012, 0.002, -0.001,
+                          0.0015).finished()) * lastToNew;
+    const Eigen::Matrix<double, 4, 4> Tinit = lastToNew.matrix();
+    printf("track_init");
+    for (int a = 0; a < 4; a++)
+      for (int b = 0; b < 4; b++) printf(" %.17g", Tinit(a, b));
+    printf("\n");
+
+    AffLight aff_out(0, 0);
+    Vec5 minRes = Vec5::Constant(NAN);
+    Vec5 lastRes = Vec5::Constant(NAN);
+    bool ok = ct.trackNewestCoarse(fh, lastToNew, aff_out,
+                                   pyrLevelsUsed - 1, minRes, lastRes);
+    const Eigen::Matrix<double, 4, 4> Tout = lastToNew.matrix();
+    printf("track_ok %d\n", ok ? 1 : 0);
+    printf("track_T");
+    for (int a = 0; a < 4; a++)
+      for (int b = 0; b < 4; b++) printf(" %.17g", Tout(a, b));
+    printf("\n");
+    printf("track_aff %.9g %.9g\n", aff_out.a, aff_out.b);
+    printf("track_res");
+    for (int i = 0; i < 5; i++) printf(" %.9g", lastRes[i]);
+    printf("\n");
+    printf("track_flow %.9g %.9g %.9g\n", ct.lastFlowIndicators[0],
+           ct.lastFlowIndicators[1], ct.lastFlowIndicators[2]);
+  }
+
+  // ================= ScaleOptimizer golden =================
+  // right frame: the plane seen from a camera at +BASE in x => texture
+  // shift D_R; the metric scale of the window is ~1, so optimizeScale
+  // must converge close to 1. Init 1.1: at 1.8 the 2+ px disparity error
+  // decorrelates the value-noise texture into a saturated plateau and the
+  // reference itself stalls in a spurious local minimum.
+  {
+    std::vector<float> img(W * H);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++) img[x + y * W] = tex(x + D_R, y);
+    FrameHessian *fhr = new FrameHessian();
+    FrameShell *shr = new FrameShell();
+    shr->id = 4;
+    fhr->shell = shr;
+    fhr->ab_exposure = 1.0;
+    fhr->makeImages(img.data(), &hcalib);
+
+    // the window's deliberate idepth perturbations make the full
+    // optimizeScale trajectory plateau-chaotic (E(s) is monotone in s), so
+    // the golden surface is the residual/Hessian FUNCTION itself:
+    // calcResScale + calcGSSSEScale over a scale ladder at every level
+    ct.fhStereo = fhr;
+    const double SCALES[8] = {0.5, 0.9, 1.0, 1.1, 1.19, 1.4, 2.0, 4.0};
+    for (int lvl = 0; lvl < pyrLevelsUsed; lvl++)
+      for (int si = 0; si < 8; si++) {
+        float sv = (float)SCALES[si];
+        Vec6 r = ct.calcResScale(lvl, sv, setting_coarseCutoffTH);
+        float Hs, bs;
+        ct.calcGSSSEScale(lvl, Hs, bs, sv);
+        printf("sres %d %.9g %.17g %.9g %.9g %.17g %.17g\n", lvl, sv, r[0],
+               r[1], r[5], (double)Hs, (double)bs);
+      }
+
+    float scale = 1.1f;
+    float res = ct.optimizeScale(fhr, scale, pyrLevelsUsed - 1);
+    printf("scale_opt %.9g %.9g\n", scale, res);
+  }
   return 0;
 }

@@ -814,3 +814,217 @@ def test_scancontext_matches_reference(scancontext_out):
             assert mi == mi_ref, (k, mi, mi_ref)
             assert abs(diff - diff_ref) < 1e-5, (k, diff, diff_ref)
     assert n_cand_frames >= 10 and n_scan_checked == NKF
+
+
+# ---------------------------------------------------------------------------
+# CoarseTracker (makeCoarseDepthL0 template + trackNewestCoarse) and
+# ScaleOptimizer::optimizeScale vs ops/tracker.py / ops/scale_opt.py
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tracker_out(residual_out):
+    """The tracker/scale golden values ride the residual harness binary."""
+    lines = golden_build.run("residual").splitlines()
+    out = dict(pc={}, pcn={}, track={}, scale=None)
+    for ln in lines:
+        t = ln.split()
+        if ln.startswith("pcn "):
+            out["pcn"][int(t[1])] = int(t[2])
+        elif ln.startswith("pc "):
+            out["pc"].setdefault(int(t[1]), []).append(
+                list(map(float, t[2:])))
+        elif ln.startswith("track_init"):
+            out["track"]["init"] = np.array(
+                list(map(float, t[1:]))).reshape(4, 4)
+        elif ln.startswith("track_ok"):
+            out["track"]["ok"] = int(t[1])
+        elif ln.startswith("track_T"):
+            out["track"]["T"] = np.array(
+                list(map(float, t[1:]))).reshape(4, 4)
+        elif ln.startswith("track_aff"):
+            out["track"]["aff"] = [float(t[1]), float(t[2])]
+        elif ln.startswith("track_res"):
+            out["track"]["res"] = [float(x) for x in t[1:]]
+        elif ln.startswith("track_flow"):
+            out["track"]["flow"] = [float(x) for x in t[1:]]
+        elif ln.startswith("sres "):
+            out.setdefault("sres", []).append(
+                list(map(float, t[1:])))
+        elif ln.startswith("scale_opt"):
+            out["scale"] = (float(t[1]), float(t[2]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def template_setup(residual_setup, tracker_out):
+    """Rebuild the reference's tracking template from the same window.
+
+    The reference template projects at the FEJ point (centerProjectedTo
+    from linearize: idepth_zero + PRE_RTll_0); our production builder runs
+    after optimize() where FEJ == current for the newest frame, so for the
+    harness window we feed it a BAState whose current state IS the FEJ."""
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.models.window import build_track_template
+
+    B, ba, pre, lin, dI, s = residual_setup
+    sc = B.accumulate_schur(ba, pre, lin)
+    ba_fej = ba._replace(state=jnp.zeros_like(ba.state),
+                         idepth=ba.idepth_zero)
+    # keep only the residuals the harness wired into lastResiduals[0]
+    # (toward frame 2, state IN)
+    newest = 2
+    in_to_newest = np.asarray(lin.new_state)[:, newest] == 0
+    res_exist = np.asarray(ba.res_exist).copy()
+    res_exist[:, newest] &= in_to_newest
+    ba_fej = ba_fej._replace(res_exist=jnp.asarray(res_exist))
+
+    pyr_ref = tuple(
+        _level_pyramid(dI, i) for i in range(3))
+    return B, ba_fej, sc, pyr_ref, s
+
+
+def _level_pyramid(dI, lvl):
+    """Rebuild frame-2 pyramid levels (the reference's dIp) for the
+    template/track calls."""
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.ops.image import build_pyramid
+    img2 = dI[2][..., 0]
+    lv, _ = build_pyramid(img2, 3)
+    return lv[lvl]
+
+
+def test_track_template_matches_reference(template_setup, tracker_out):
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.models.window import build_track_template
+
+    B, ba_fej, sc, pyr_ref, s = template_setup
+    W, H = 256, 192
+    templates, pc_mask = build_track_template(
+        ba_fej, sc.HdiF, pyr_ref, 3, (512, 256, 256), W, H)
+
+    for lvl in range(3):
+        ref_rows = np.array(tracker_out["pc"][lvl])
+        n_ref = tracker_out["pcn"][lvl]
+        t = templates[lvl]
+        valid = np.asarray(t.valid)
+        n_mine = int(valid.sum())
+        assert n_mine == n_ref, (lvl, n_mine, n_ref)
+        mine = {(int(u), int(v)): (idp, c) for u, v, idp, c in zip(
+            np.asarray(t.u)[valid], np.asarray(t.v)[valid],
+            np.asarray(t.idepth)[valid], np.asarray(t.color)[valid])}
+        ref = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in ref_rows}
+        # the reference's dilate indexes the FLAT map, wrapping across row
+        # edges (CoarseTracker.cpp:119-190); our roll-based dilate wraps
+        # toroidally — a couple of border-adjacent fill cells may differ
+        common = set(mine) & set(ref)
+        assert len(common) >= 0.98 * n_ref, (lvl, len(common), n_ref)
+        mi = np.array([mine[k] for k in sorted(common)])
+        rf = np.array([ref[k] for k in sorted(common)])
+        np.testing.assert_allclose(mi[:, 0], rf[:, 0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(mi[:, 1], rf[:, 1], rtol=1e-4, atol=1e-3)
+
+
+def test_coarse_tracker_matches_reference(template_setup, tracker_out,
+                                          residual_setup):
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.models.window import build_track_template
+    from sos_slam_tpu.ops import tracker as TK
+    from sos_slam_tpu.ops.image import build_pyramid
+
+    B, ba_fej, sc, pyr_ref, s = template_setup
+    W, H = 256, 192
+    FX = 200.0
+    templates, _ = build_track_template(
+        ba_fej, sc.HdiF, pyr_ref, 3, (512, 256, 256), W, H)
+
+    # the 4th frame exactly as the harness builds it
+    img3 = _smooth_tex(W, H, shift=9) * np.float32(1.05)
+    pyr3, _ = build_pyramid(jnp.asarray(img3), 3)
+
+    T_init = tracker_out["track"]["init"]
+    # frame-2 state: from the residual harness (current scaled affine)
+    _, ba, _, _, _, _ = residual_setup
+    aff2 = np.asarray(B.aff_real(ba.state))[2]
+    exposures = jnp.asarray([0.9, 1.05], jnp.float32)
+
+    from sos_slam_tpu.utils import camera
+    calib = camera.make_calib_pyramid(W, H, 200.0, 200.0, 128.0, 96.0)
+    intr = tuple((calib.fx[l], calib.fy[l], calib.cx[l], calib.cy[l])
+                 for l in range(3))
+
+    out = TK.track_newest_coarse(
+        tuple(pyr3), templates, jnp.asarray(T_init, jnp.float32),
+        jnp.zeros(2, jnp.float32), jnp.asarray(aff2, jnp.float32),
+        exposures, jnp.full((6,), jnp.nan), intr, 3,
+        coarse_cutoff_th=s.coarse_cutoff_th, huber=s.huber_th)
+
+    # both solve lastToNew (ref template -> new frame)
+    T_ref = tracker_out["track"]["T"]
+    T_mine = np.asarray(out["T"])
+    assert bool(out["good"]) == bool(tracker_out["track"]["ok"])
+    np.testing.assert_allclose(T_mine[:3, 3], T_ref[:3, 3], atol=2e-3)
+    np.testing.assert_allclose(T_mine[:3, :3], T_ref[:3, :3], atol=1e-3)
+    aff_ref = tracker_out["track"]["aff"]
+    np.testing.assert_allclose(np.asarray(out["aff"]), aff_ref, atol=2e-2)
+    res_ref = tracker_out["track"]["res"]
+    res_mine = np.asarray(out["residuals"])
+    for lvl in range(3):
+        if np.isfinite(res_ref[lvl]):
+            np.testing.assert_allclose(res_mine[lvl], res_ref[lvl],
+                                       rtol=0.05)
+
+
+def test_scale_optimizer_matches_reference(template_setup, tracker_out):
+    """Residual-function parity: calcResScale / calcGSSSEScale over a
+    scale ladder at every level (the harness window's deliberate idepth
+    perturbations make the full optimizeScale trajectory plateau-chaotic,
+    so the golden surface is the E/H/b FUNCTION, which is what determines
+    production behavior on well-posed stereo scenes)."""
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.models.window import build_track_template
+    from sos_slam_tpu.ops import scale_opt as SO
+    from sos_slam_tpu.ops.image import build_pyramid
+    from sos_slam_tpu.utils import camera
+
+    B, ba_fej, sc, pyr_ref, s = template_setup
+    W, H = 256, 192
+    FX, ID_TRUE, D_R = 200.0, 0.5, 5
+    BASE = D_R / (FX * ID_TRUE)
+    templates, _ = build_track_template(
+        ba_fej, sc.HdiF, pyr_ref, 3, (512, 256, 256), W, H)
+
+    img_r = _smooth_tex(W, H, shift=D_R)
+    pyr_r, _ = build_pyramid(jnp.asarray(img_r), 3)
+
+    calib = camera.make_calib_pyramid(W, H, 200.0, 200.0, 128.0, 96.0)
+    intr = tuple((calib.fx[l], calib.fy[l], calib.cx[l], calib.cy[l])
+                 for l in range(3))
+    R01 = jnp.eye(3)
+    t01 = jnp.asarray([-BASE, 0.0, 0.0], jnp.float32)
+
+    rows = tracker_out["sres"]
+    assert len(rows) == 24
+    n_checked = 0
+    for lvl, sv, E_ref, n_ref, sat_ref, H_ref, b_ref in rows:
+        r = SO.res_and_hb_scale(pyr_r[int(lvl)], templates[int(lvl)],
+                                jnp.float32(sv), R01, t01, intr[int(lvl)],
+                                intr[int(lvl)], jnp.float32(s.coarse_cutoff_th),
+                                s.huber_th)
+        assert int(r["num_in"]) == int(n_ref), (lvl, sv)
+        np.testing.assert_allclose(float(r["E"]), E_ref, rtol=2e-3)
+        sat_mine = float(r["num_sat"]) / max(float(r["num_in"]), 1)
+        assert abs(sat_mine - sat_ref) < 2e-2, (lvl, sv)
+        # H/b normalizations differ (n_active vs 4-padded n): compare the
+        # actual LM step -b/H
+        if abs(H_ref) > 1e-12 and float(r["H"]) > 1e-12:
+            step_ref = -b_ref / H_ref
+            step_mine = -float(r["b"]) / float(r["H"])
+            np.testing.assert_allclose(step_mine, step_ref, rtol=5e-3,
+                                       atol=1e-5)
+        n_checked += 1
+    assert n_checked == 24
