@@ -10,6 +10,9 @@ Every timed scene runs MULTIPLE times (the pipeline is deterministic, so
 only timing varies): the headline value is the MEDIAN steady-window fps and
 the per-run values are reported in `extra` (`fps_runs`, ...), making the
 tunnel's run-to-run variance visible instead of folding it into the number.
+Identical-code medians observed across the day span ~34-39 fps on the main
+scene (ambient tunnel/host load); 5 runs keep the median robust to one
+contended window.
 
 Baseline contract (BASELINE.json): >= 2x camera rate (EuRoC = 20 fps) on one
 TPU v5e chip => vs_baseline = fps / 40.0 (>= 1.0 means target met).
@@ -31,7 +34,7 @@ N_FRAMES = 48
 # warmup must cover the first frame marginalization (window fill) so all
 # program variants are compiled before the timed window starts
 WARMUP = 26
-N_RUNS_MAIN = 3
+N_RUNS_MAIN = 5
 N_RUNS_LOW = 3
 N_RUNS_FULL = 2
 
