@@ -77,6 +77,16 @@ HARNESSES = {
         f"{SRC}/util/globalCalib.cpp",
         f"{SRC}/IOWrapper/ImageDisplay_dummy.cpp",
     ],
+    "init": [
+        "harness_init.cpp",
+        f"{SRC}/FullSystem/CoarseInitializer.cpp",
+        f"{SRC}/FullSystem/ScaleOptimizer.cpp",
+        f"{SRC}/FullSystem/PixelSelector2.cpp",
+        f"{SRC}/FullSystem/HessianBlocks.cpp",
+        f"{SRC}/util/settings.cpp",
+        f"{SRC}/util/globalCalib.cpp",
+        f"{SRC}/IOWrapper/ImageDisplay_dummy.cpp",
+    ],
     "scancontext": [
         "harness_scancontext.cpp",
         f"{SRC}/LoopClosure/ScanContext.cpp",
