@@ -43,6 +43,7 @@
 #undef protected
 #include "FullSystem/ImmaturePoint.h"
 #include "FullSystem/Residuals.h"
+#include "OptimizationBackend/EnergyFunctionalStructs.h"
 #include "util/FrameShell.h"
 #include "util/globalCalib.h"
 #include "util/settings.h"
@@ -364,5 +365,41 @@ int main() {
     float res = ct.optimizeScale(fhr, scale, pyrLevelsUsed - 1);
     printf("scale_opt %.9g %.9g\n", scale, res);
   }
+
+  // ================= marginalization golden =================
+  // FullSystem's removal flow (flagPointsForRemoval, FullSystem.cpp:533-585
+  // -> marginalizePointsF -> drop residuals targeting the dead frame ->
+  // EnergyFunctional::marginalizeFrame). Points hosted in frame 0 are
+  // marginalized, then frame 0 is Schur-ed out of HM/bM.
+  for (PointHessian *ph : points)
+    if (ph->host == frames[0]) {
+      ph->efPoint->stateFlag = EFPointStatus::PS_MARGINALIZE;
+      for (PointFrameResidual *r : ph->residuals)
+        if (r->efResidual && r->efResidual->isActive())
+          r->efResidual->fixLinearizationF(&ef);
+    }
+  ef.marginalizePointsF();
+  {
+    int dm = (int)ef.bM.size();
+    printf("margp_dim %d\n", dm);
+    for (int i = 0; i < dm; i++)
+      for (int j = 0; j < dm; j++)
+        printf("HMp %d %d %.17g\n", i, j, ef.HM(i, j));
+    for (int i = 0; i < dm; i++) printf("bMp %d %.17g\n", i, ef.bM(i));
+  }
+  for (PointFrameResidual *r : residuals)
+    if (r->target == frames[0] && r->point->efPoint != 0 &&
+        r->efResidual != 0)
+      ef.dropResidual(r->efResidual);
+  ef.marginalizeFrame(frames[0]->efFrame, &hcalib);
+  {
+    int dm = (int)ef.bM.size();
+    printf("margf_dim %d\n", dm);
+    for (int i = 0; i < dm; i++)
+      for (int j = 0; j < dm; j++)
+        printf("HMm %d %d %.17g\n", i, j, ef.HM(i, j));
+    for (int i = 0; i < dm; i++) printf("bMm %d %.17g\n", i, ef.bM(i));
+  }
+
   return 0;
 }

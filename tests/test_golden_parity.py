@@ -1118,3 +1118,70 @@ def test_initializer_res_gs_matches_reference(init_out):
                     np.asarray(mine), ref, rtol=5e-3, atol=scale * 1e-4)
             n_checked += 1
     assert n_checked == 9
+
+
+# ---------------------------------------------------------------------------
+# Point + frame marginalization into HM/bM (marginalizePointsF +
+# EnergyFunctional::marginalizeFrame) vs models/energy.py
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def marg_out():
+    lines = golden_build.run("residual").splitlines()
+    out = dict(HMp={}, bMp={}, HMm={}, bMm={}, dims={})
+    for ln in lines:
+        t = ln.split()
+        if ln.startswith("margp_dim "):
+            out["dims"]["p"] = int(t[1])
+        elif ln.startswith("margf_dim "):
+            out["dims"]["f"] = int(t[1])
+        elif t and t[0] in ("HMp", "HMm"):
+            out[t[0]][(int(t[1]), int(t[2]))] = float(t[3])
+        elif t and t[0] in ("bMp", "bMm"):
+            out[t[0]][int(t[1])] = float(t[2])
+    return out
+
+
+def test_marginalization_matches_reference(residual_setup, marg_out):
+    import jax.numpy as jnp
+
+    from sos_slam_tpu.models import energy as E
+
+    B, ba, pre, lin, dI, s = residual_setup
+    W, H = 256, 192
+    dp = marg_out["dims"]["p"]
+    df = marg_out["dims"]["f"]
+    HMp = np.zeros((dp, dp))
+    bMp = np.zeros(dp)
+    for (i, j), v in marg_out["HMp"].items():
+        HMp[i, j] = v
+    for i, v in marg_out["bMp"].items():
+        bMp[i] = v
+    HMm = np.zeros((df, df))
+    bMm = np.zeros(df)
+    for (i, j), v in marg_out["HMm"].items():
+        HMm[i, j] = v
+    for i, v in marg_out["bMm"].items():
+        bMm[i] = v
+
+    # 1) marginalize all points hosted in frame 0 into HM/bM
+    mark = np.asarray(ba.host) == 0
+    ba2 = E.marginalize_points(ba, dI, jnp.asarray(mark), s, W, H)
+    scale = np.abs(HMp).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(ba2.HM)[:dp, :dp], HMp,
+                               rtol=5e-3, atol=scale * 2e-4)
+    bscale = np.abs(bMp).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(ba2.bM)[:dp], bMp,
+                               rtol=5e-3, atol=bscale * 2e-4)
+
+    # 2) drop residuals targeting frame 0, then Schur it out
+    res_exist = np.asarray(ba2.res_exist).copy()
+    res_exist[:, 0] = False
+    ba2 = ba2._replace(res_exist=jnp.asarray(res_exist))
+    ba3 = E.marginalize_frame(ba2, jnp.int32(0))
+    scale = np.abs(HMm).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(ba3.HM)[:df, :df], HMm,
+                               rtol=5e-3, atol=scale * 5e-4)
+    bscale = np.abs(bMm).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(ba3.bM)[:df], bMm,
+                               rtol=5e-3, atol=bscale * 5e-4)
