@@ -55,9 +55,17 @@ def estimate_direct(
         tuple(intrinsics), n_levels,
     )
     rms = out["residuals"][0]
-    # acceptance gates (PoseEstimator.cpp:451-493)
+    # acceptance gates (PoseEstimator.cpp:451-493): sane affine, low
+    # residual AND > INNER_PERCENT=90% of the template in-bounds at the
+    # final level-0 pose (lastInners[0] / pts.size())
+    r0 = TK.res_and_hb(pyr_cur[0], templates[0], out["T"],
+                       jnp.zeros(2), 0.0, intrinsics[0],
+                       jnp.float32(20.0), 9.0)
+    n_pts = jnp.maximum(jnp.sum(pts_valid), 1)
+    inlier_frac = r0["num_in"] / n_pts
     ok = out["good"] & jnp.isfinite(rms) & (rms < direct_thres) \
-        & (jnp.abs(out["aff"][0]) < 1.2) & (jnp.abs(out["aff"][1]) < 200.0)
+        & (jnp.abs(out["aff"][0]) < 1.2) & (jnp.abs(out["aff"][1]) < 200.0) \
+        & (inlier_frac > 0.9)
     return out["T"], ok, rms
 
 
