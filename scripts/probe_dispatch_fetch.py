@@ -35,8 +35,13 @@ from sos_slam_tpu.utils.config import default_settings
 
 
 def main():
+    # EXACTLY the bench main scene (48 frames, prewarm at 26): every
+    # program — incl. the selector-rung chain variants the density
+    # adaptation may switch to mid-run — is already in the executable
+    # cache after one bench run.  A different drive here risks a
+    # multi-minute remote compile (and killing it wedges the tunnel).
     W, H = 640, 480
-    n = 36
+    n = 48
     calib = synthetic.default_calib(W, H)
     settings = default_settings()
     twist = jnp.array([0.03, 0.012, 0.02, 0.002, 0.004, 0.001])
@@ -56,7 +61,10 @@ def main():
 
     fs._complete_fused = capture
     for i in range(n):
+        if i == 26:
+            fs.prewarm()
         fs.add_active_frame(frames[i], timestamp=i * 0.05, frame_id=i)
+        print(f"[probe] frame {i}", file=sys.stderr, flush=True)
     fs.finish_pending()
     assert nonkf_rec is not None
     kind, args, kw = nonkf_rec
